@@ -1,0 +1,181 @@
+"""Batched radix-2 NTT / iNTT / coset-LDE on device arrays.
+
+Design (TPU-first, see SURVEY.md §7):
+
+* data lives in HBM as uint32 limb arrays — Goldilocks (batch, N, 2),
+  BabyBear (batch, N); a whole multi-column trace transforms as one batch;
+* a transform is log2(N) fully-vectorized butterfly stages under one ``jit``;
+  each stage reshapes to (batch, blocks, 2, half) and applies
+  u +/- w*v with a precomputed per-stage twiddle vector (static constants,
+  baked into the executable) — pure VPU work that XLA fuses and tiles;
+* the bit-reversal input permutation is a single static gather;
+* coset scaling multiplies by on-device-computed offset powers (the offset is
+  a Fiat-Shamir challenge, so powers come from a log-depth associative scan);
+* extension-field codewords need no extension NTT: the 2-adic roots lie in
+  the base prime subfield (fields/host.py), so an Fp2/Fp4 transform is just
+  the base transform batched over the tower coefficients.
+
+Bit-exact with poly/domain.py (tests/test_ops_ntt.py); the sharded multi-chip
+variant lives in parallel/ntt_sharded.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bb as bb_ops
+from . import gl as gl_ops
+
+
+def _field_ops(field):
+    """Pick the limb kernel module + packers for a base prime field."""
+    if field.p == gl_ops.P:
+        return gl_ops
+    if field.p == bb_ops.P:
+        return bb_ops
+    raise ValueError(f"no device kernels for field modulus {field.p}")
+
+
+@lru_cache(maxsize=None)
+def _bitrev_indices(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles(p: int, root: int, n: int):
+    """Per-stage twiddle tables for generator ``root`` of order n.
+
+    Stage s (length = 2^s blocks) uses w_len = root^(n/length), twiddles
+    w_len^k for k < length/2. Returned as a tuple of packed numpy arrays.
+    """
+    tables = []
+    length = 2
+    while length <= n:
+        w_len = pow(root, n // length, p)
+        tw = [1] * (length // 2)
+        for k in range(1, length // 2):
+            tw[k] = (tw[k - 1] * w_len) % p
+        tables.append(tuple(tw))
+        length *= 2
+    return tuple(tables)
+
+
+def _pack_twiddles(ops, p, root, n):
+    return [
+        jnp.asarray(ops.pack(list(tw))) for tw in _stage_twiddles(p, root, n)
+    ]
+
+
+def _ntt_core(ops, x, twiddles, n):
+    """x: (batch, n[, limbs]) in bit-reversed order -> natural-order NTT."""
+    batch = x.shape[0]
+    length = 2
+    for tw in twiddles:
+        half = length // 2
+        blocks = n // length
+        xr = x.reshape((batch, blocks, 2, half) + x.shape[2:])
+        e = xr[:, :, 0]
+        o = xr[:, :, 1]
+        wv = ops.mul(o, tw[None, None])
+        out = jnp.stack([ops.add(e, wv), ops.sub(e, wv)], axis=2)
+        x = out.reshape((batch, n) + x.shape[2:])
+        length *= 2
+    return x
+
+
+def _powers(ops, scalar, n):
+    """[1, s, s^2, ..., s^(n-1)] via log-depth associative scan on device."""
+    base = jnp.broadcast_to(scalar, (n,) + scalar.shape)
+    one = jnp.zeros_like(base[0])
+    if base.ndim == 2:  # limbed (goldilocks)
+        one = one.at[..., 0].set(1)
+    else:
+        one = one + 1
+    seq = jnp.concatenate([one[None], base[:-1]], axis=0)
+    return jax.lax.associative_scan(ops.mul, seq, axis=0)
+
+
+def make_ntt_fns(field, n: int):
+    """Build jitted (fft, ifft, coset_fft, coset_ifft) closures for size n.
+
+    All take/return (batch, n[, limbs]) uint32 arrays in natural order.
+    The coset variants take the offset as a traced device scalar (it is a
+    Fiat-Shamir challenge). Twiddles/bit-rev tables are static constants.
+    """
+    ops = _field_ops(field)
+    p = field.p
+    root = field.get_root_of_unity(n)
+    root_inv = field.inv(root)
+    n_inv = field.inv(field.from_int(n))
+
+    rev = jnp.asarray(_bitrev_indices(n))
+    tw_fwd = _pack_twiddles(ops, p, root, n)
+    tw_inv = _pack_twiddles(ops, p, root_inv, n)
+    n_inv_packed = jnp.asarray(ops.pack([n_inv])[0])
+
+    @jax.jit
+    def fft(x):
+        return _ntt_core(ops, x[:, rev], tw_fwd, n)
+
+    @jax.jit
+    def ifft(x):
+        y = _ntt_core(ops, x[:, rev], tw_inv, n)
+        return ops.mul(y, n_inv_packed[None, None])
+
+    @jax.jit
+    def coset_fft(x, offset):
+        pw = _powers(ops, offset, n)
+        scaled = ops.mul(x, pw[None])
+        return _ntt_core(ops, scaled[:, rev], tw_fwd, n)
+
+    @jax.jit
+    def coset_ifft(x, offset_inv):
+        y = _ntt_core(ops, x[:, rev], tw_inv, n)
+        y = ops.mul(y, n_inv_packed[None, None])
+        pw = _powers(ops, offset_inv, n)
+        return ops.mul(y, pw[None])
+
+    return fft, ifft, coset_fft, coset_ifft
+
+
+@lru_cache(maxsize=None)
+def _cached_ntt_fns(field_key, n):
+    from ..fields import BABYBEAR_FP, GOLDILOCKS_FP
+
+    field = {"gl": GOLDILOCKS_FP, "bb": BABYBEAR_FP}[field_key]
+    return make_ntt_fns(field, n)
+
+
+def get_ntt_fns(field, n: int):
+    key = "gl" if field.p == gl_ops.P else "bb"
+    return _cached_ntt_fns(key, n)
+
+
+# ---------------------------------------------------------------------------
+# Host-facing helpers used by the generic (list-based) protocol layers
+# ---------------------------------------------------------------------------
+
+
+def batch_ifft_columns_device(field, flat_data, length, width, domain):
+    """iFFT all columns of a row-major host matrix via the device kernel."""
+    base = field  # trace matrices are base-field
+    ops = _field_ops(base)
+    mat = np.array(flat_data, dtype=object).reshape(length, width).T  # (w, n)
+    x = jnp.asarray(ops.pack(mat))
+    _, ifft, _, coset_ifft = get_ntt_fns(base, length)
+    if domain.offset == base.one():
+        out = ifft(x)
+    else:
+        off_inv = jnp.asarray(ops.pack([domain.offset_inv])[0])
+        out = coset_ifft(x, off_inv)
+    res = ops.unpack(np.asarray(jax.device_get(out)))
+    return [list(res[i]) for i in range(width)]

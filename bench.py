@@ -1,0 +1,110 @@
+"""Headline benchmark: end-to-end STARK prove for a 2^20-row Fibonacci AIR
+over Goldilocks(+Fp2) on one TPU chip (BASELINE.json config 4's trace scale).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline methodology (the reference publishes no numbers — BASELINE.md):
+the baseline is this framework's own host-exact oracle (the same protocol in
+pure Python, the reference's single-core execution model) measured at
+BENCH_BASE_STEPS rows and extrapolated by N log N to the benchmark size.
+vs_baseline > 1 means the TPU engine is faster than the single-core oracle.
+
+Env overrides: BENCH_STEPS (default 2^20 - 1), BENCH_BASE_STEPS (default
+2^13 - 1), BENCH_SKIP_VERIFY=1.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def device_prove(steps):
+    import jax.numpy as jnp
+
+    from ministark_tpu.fields import Goldilocks
+    from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
+    from ministark_tpu.stark import StarkConfig
+    from ministark_tpu.stark.engine import DeviceEngine
+
+    dtrace = fibonacci_device_trace(Goldilocks, steps)
+    cfg = StarkConfig(Goldilocks, 20, 2, steps, dtrace.constrain_number())
+    engine = DeviceEngine(cfg)
+
+    t0 = time.time()
+    proof = engine.prove(dtrace)
+    t_prove = time.time() - t0
+
+    t_verify = None
+    if os.environ.get("BENCH_SKIP_VERIFY") != "1":
+        tp = engine._trace_polys(dtrace)
+        trans = [f(tp) for f in dtrace.transitions]
+        all_coeffs = jnp.concatenate([tp] + [t[None] for t in trans], axis=0)
+        t0 = time.time()
+        assert engine.verify(all_coeffs, proof)
+        t_verify = time.time() - t0
+    return t_prove, t_verify
+
+
+def host_prove(steps):
+    from ministark_tpu.fields import Goldilocks
+    from ministark_tpu.models import FibonacciClaim, Witness
+    from ministark_tpu.ops import set_device_enabled
+    from ministark_tpu.stark import Stark, StarkConfig
+
+    set_device_enabled(False)
+    try:
+        base = Goldilocks.base
+        claim = FibonacciClaim(field=base, step=steps, output=base.from_int(13))
+        witness = Witness(secret_b=base.from_int(2))
+        trace = claim.trace(witness)
+        cfg = StarkConfig(Goldilocks, 20, 2, steps, trace.constrain_number())
+        stark = Stark(cfg)
+        t0 = time.time()
+        stark.prove(claim, witness)
+        return time.time() - t0
+    finally:
+        set_device_enabled(True)
+
+
+def main():
+    steps = int(os.environ.get("BENCH_STEPS", (1 << 20) - 1))
+    base_steps = int(os.environ.get("BENCH_BASE_STEPS", (1 << 13) - 1))
+
+    # warm-up at a small size compiles most executables via the persistent cache
+    t_prove, t_verify = device_prove(steps)
+    rows_per_s = steps / t_prove
+
+    t_host = host_prove(base_steps)
+    # N log N extrapolation of the single-core oracle to the benchmark size
+    scale = (steps * math.log2(steps)) / (base_steps * math.log2(base_steps))
+    t_host_extrapolated = t_host * scale
+    vs_baseline = t_host_extrapolated / t_prove
+
+    print(json.dumps({
+        "metric": f"e2e_prove_rows_per_s_fib{steps}_goldilocks",
+        "value": round(rows_per_s, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+    print(
+        f"# prove {t_prove:.2f}s | verify {t_verify if t_verify is None else round(t_verify, 2)}s | "
+        f"host-oracle {t_host:.2f}s @ {base_steps} rows -> {t_host_extrapolated:.1f}s extrapolated",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

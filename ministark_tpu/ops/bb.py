@@ -24,8 +24,13 @@ MB32 = jnp.uint32(M_BARRETT)
 
 
 def pack(values) -> np.ndarray:
-    return np.asarray([int(v) for v in np.asarray(values, dtype=object).ravel()],
-                      dtype=np.uint32).reshape(np.asarray(values, dtype=object).shape)
+    arr = np.asarray(values)
+    if not np.issubdtype(arr.dtype, np.integer):
+        arr = np.asarray(values, dtype=object)
+        return np.asarray(
+            [int(v) for v in arr.ravel()], dtype=np.uint32
+        ).reshape(arr.shape)
+    return arr.astype(np.uint32)
 
 
 def unpack(arr) -> np.ndarray:

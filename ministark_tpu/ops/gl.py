@@ -23,10 +23,19 @@ EPS = jnp.uint32(0xFFFFFFFF)                # 2^32 - 1 == 2^64 mod p
 
 
 def pack(values) -> np.ndarray:
-    """Host helper: iterable/array of Python ints -> (..., 2) uint32."""
-    arr = np.asarray(values, dtype=object)
-    lo = np.vectorize(lambda v: int(v) & 0xFFFFFFFF, otypes=[np.uint32])(arr)
-    hi = np.vectorize(lambda v: (int(v) >> 32) & 0xFFFFFFFF, otypes=[np.uint32])(arr)
+    """Host helper: ints / uint64 array -> (..., 2) uint32 [lo, hi].
+
+    Python ints > 2^63 - 1 make numpy silently produce float64 — always route
+    non-integer dtypes through the exact object path."""
+    arr = np.asarray(values)
+    if not np.issubdtype(arr.dtype, np.integer):
+        arr = np.asarray(values, dtype=object)
+        lo = np.vectorize(lambda v: int(v) & 0xFFFFFFFF, otypes=[np.uint32])(arr)
+        hi = np.vectorize(lambda v: (int(v) >> 32) & 0xFFFFFFFF, otypes=[np.uint32])(arr)
+        return np.stack([lo, hi], axis=-1)
+    arr = arr.astype(np.uint64)
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr >> np.uint64(32)).astype(np.uint32)
     return np.stack([lo, hi], axis=-1)
 
 

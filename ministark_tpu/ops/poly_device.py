@@ -24,29 +24,57 @@ import jax.numpy as jnp
 from .registry import FieldKernels
 
 
+def _mask_where(k: FieldKernels, mask_1d, a, b):
+    """elementwise select with a (n,)-mask broadcast over element limb axes."""
+    extra = a.ndim - 1
+    m = mask_1d.reshape(mask_1d.shape + (1,) * extra)
+    return jnp.where(m, a, b)
+
+
 def field_sum(k: FieldKernels, arr, axis: int = 0):
-    """Tree reduction with the field's add along ``axis`` (length power of 2
-    not required)."""
-    n = arr.shape[axis]
+    """Reduction with the field's add along ``axis``.
+
+    Implemented as a fixed-shape Hillis-Steele fold under ``fori_loop`` so the
+    traced graph size is O(log-iterations of ONE add), not O(n) — XLA compiles
+    wide integer element ops slowly, so graph size is the scarce resource.
+    """
     arr = jnp.moveaxis(arr, axis, 0)
-    while n > 1:
-        half = n // 2
-        even = arr[: 2 * half : 2]
-        odd = arr[1 : 2 * half : 2]
-        red = k.add(even, odd)
-        if n % 2:
-            red = jnp.concatenate([red, arr[-1:]], axis=0)
-        arr = red
-        n = arr.shape[0]
-    return arr[0]
+    n = arr.shape[0]
+    if n == 1:
+        return arr[0]
+    log_n = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(t, a):
+        s = jnp.int32(1) << t
+        rolled = jnp.roll(a, -s, axis=0)
+        summed = k.add(a, rolled)
+        return _mask_where(k, idx + s < n, summed, a)
+
+    return jax.lax.fori_loop(0, log_n, body, arr)[0]
 
 
 def powers(k: FieldKernels, x, n: int):
-    """[1, x, ..., x^(n-1)] via log-depth associative scan."""
-    base = jnp.broadcast_to(x, (n,) + tuple(x.shape))
-    one = jnp.broadcast_to(k.one(), base[0].shape)
-    seq = jnp.concatenate([one[None], base[:-1]], axis=0)
-    return jax.lax.associative_scan(k.mul, seq, axis=0)
+    """[1, x, ..., x^(n-1)] via exponent bits: pw_i = prod_b x^(2^b*bit_b(i)).
+
+    log2(n) fori_loop iterations over a fixed (n, *elem) shape — one multiply
+    and one square per iteration, so the compiled graph stays tiny."""
+    one = jnp.broadcast_to(k.one(), tuple(x.shape))
+    pw0 = jnp.broadcast_to(one, (n,) + tuple(x.shape))
+    if n == 1:
+        return pw0
+    log_n = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(b, carry):
+        pw, x2 = carry
+        bit = (idx >> b) & 1
+        x2b = jnp.broadcast_to(x2, pw.shape)
+        pw = _mask_where(k, bit == 1, k.mul(pw, x2b), pw)
+        return pw, k.mul(x2, x2)
+
+    pw, _ = jax.lax.fori_loop(0, log_n, body, (pw0, x))
+    return pw
 
 
 def eval_poly(k: FieldKernels, coeffs, x):
@@ -113,3 +141,60 @@ def mix_columns(k: FieldKernels, cols, weights):
     w = cols.shape[0]
     weighted = k.mul(cols, jnp.broadcast_to(weights[:, None], cols.shape))
     return field_sum(k, weighted, axis=0)
+
+
+def suffix_sums(k: FieldKernels, arr):
+    """S_i = sum_{j >= i} arr[j] — Hillis-Steele over a fixed shape."""
+    n = arr.shape[0]
+    if n == 1:
+        return arr
+    log_n = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(t, a):
+        s = jnp.int32(1) << t
+        rolled = jnp.roll(a, -s, axis=0)  # rolled[i] = a[i+s] (wrapped)
+        summed = k.add(a, rolled)
+        return _mask_where(k, idx + s < n, summed, a)
+
+    return jax.lax.fori_loop(0, log_n, body, arr)
+
+
+def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
+    """Quotient of division by (x - z) via the closed form
+    q_i = z^{-(i+1)} * sum_{j >= i+1} c_j z^j.
+
+    Requires z != 0 (callers host-fallback on the zero challenge) and
+    ``zinv_scale`` = packed z^{-(n-1)} for n = coeffs.shape[0]. Uses one
+    powers-scan (mul) and one suffix-sum scan (add) — far cheaper to compile
+    than a mul-pair scan, and exact in modular arithmetic.
+    """
+    n = coeffs.shape[0]
+    pw = powers(k, zp, n)                       # z^0 .. z^{n-1}
+    t = k.mul(coeffs, pw)
+    suf = suffix_sums(k, t)                      # T_i = sum_{j>=i} c_j z^j
+    # z^{-(i+1)} = z^{n-2-i} * z^{-(n-1)}  for i in [0, n-2]
+    inv_pw = k.mul(pw[: n - 1][::-1], jnp.broadcast_to(zinv_scale, pw[: n - 1].shape))
+    return k.mul(suf[1:], inv_pw)
+
+
+def eval_even_odd(k: FieldKernels, coeffs, zp):
+    """(f_even(z), f_odd(z)) for the coefficient-split halves."""
+    even = coeffs[0::2]
+    odd = coeffs[1::2]
+    m = even.shape[0]
+    pw = powers(k, zp, m)
+    fe = field_sum(k, k.mul(even, pw), axis=0)
+    if odd.shape[0] < m:
+        pad = jnp.zeros_like(even[: m - odd.shape[0]])
+        odd = jnp.concatenate([odd, pad], axis=0)
+    fo = field_sum(k, k.mul(odd, pw), axis=0)
+    return fe, fo
+
+
+# jitted entry points (kernel namespace is a static argument; FieldKernels
+# instances are cached singletons so jit caching works by identity)
+eval_poly_jit = jax.jit(eval_poly, static_argnums=0)
+synth_div_jit = jax.jit(synth_div, static_argnums=0)
+fold_even_odd_jit = jax.jit(fold_even_odd, static_argnums=0)
+mix_columns_jit = jax.jit(mix_columns, static_argnums=0)

@@ -1,0 +1,106 @@
+"""Jittable prover-core graphs (single-chip and sharded) for the flagship
+Fibonacci AIR.
+
+These wrap the compute spine of ``DeviceEngine.prove`` — trace iFFT ->
+transition constraints -> coset LDE -> constraint mixing -> one FRI fold —
+as single jitted functions with no host callbacks, used by __graft_entry__
+(driver compile checks) and the scaling benchmarks. The full prover
+(stark/engine.py) runs the same kernels with Fiat-Shamir challenges between
+phases, which is a protocol-inherent sequencing (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ntt_device import get_ntt_fns, _field_ops
+from ..ops.poly_device import fold_even_odd, mix_columns
+from ..ops.registry import get_kernels
+
+
+def make_prove_core(stark_field, n: int):
+    """Single-chip jitted core for a width-3 Fibonacci trace of domain n.
+
+    fn(cols, omega, shift, weights) -> (lde_evals, mixed, folded)
+      cols:    (3, n[, limbs])  column evaluations
+      omega:   packed base scalar (trace domain generator)
+      shift:   packed base scalar (coset offset challenge)
+      weights: (6[, limbs]) packed mixing weights r^i
+    """
+    base = stark_field.base
+    kb = get_kernels(base)
+    _, ifft, _, _ = get_ntt_fns(base, n)
+    _, _, coset_fft, _ = get_ntt_fns(base, 2 * n)
+
+    @jax.jit
+    def core(cols, omega, shift, weights):
+        tp = ifft(cols)                                   # (3, n, *e)
+        t1 = kb.sub(kb.scale_base(tp[0], jnp.broadcast_to(omega, tp[0].shape)), tp[1])
+        t3 = kb.sub(kb.sub(tp[2], tp[0]), tp[1])
+        allc = jnp.concatenate([tp, t1[None], t1[None], t3[None]], axis=0)
+        pad = jnp.zeros_like(allc)
+        padded = jnp.concatenate([allc, pad], axis=1)     # (6, 2n, *e)
+        lde = coset_fft(padded, shift)
+        mixed = mix_columns(kb, allc, weights)            # (n, *e)
+        folded = fold_even_odd(kb, mixed, weights[1])     # representative fold
+        return lde, mixed, folded
+
+    def example_args():
+        import numpy as np
+
+        from ..models.fibonacci_device import fibonacci_device_trace
+        from ..poly import Radix2EvaluationDomain
+
+        steps = n - 1
+        dtrace = fibonacci_device_trace(stark_field, steps)
+        cols = jnp.asarray(kb.pack(dtrace.cols.reshape(-1)).reshape((3, n) + kb.elem_axes))
+        domain = Radix2EvaluationDomain(base, n)
+        omega = jnp.asarray(kb.pack_scalar(domain.group_gen))
+        shift = jnp.asarray(kb.pack_scalar(base.from_int(7)))
+        weights = jnp.asarray(kb.pack([base.pow(base.from_int(5), i) for i in range(6)]))
+        return cols, omega, shift, weights
+
+    return core, example_args
+
+
+def make_sharded_prove_core(stark_field, n: int, mesh, axis: str = "shards"):
+    """Sharded core: per-column sharded four-step NTT for the LDE plus
+    sharded elementwise constraint/mix work (coefficients partitioned over the
+    mesh axis; the NTT transposes ride all_to_all over ICI)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.ntt_sharded import make_sharded_ntt_fns
+
+    base = stark_field.base
+    kb = get_kernels(base)
+    _, ifft, _, _ = get_ntt_fns(base, n)
+    sharded_ntt = make_sharded_ntt_fns(base, 2 * n, mesh, axis)
+
+    elem_spec = [None] * len(kb.elem_axes)
+    shard_vec = NamedSharding(mesh, P(axis, *elem_spec))
+
+    @jax.jit
+    def core(cols, omega, weights):
+        # trace interpolation (replicated batch of 3 columns)
+        tp = ifft(cols)
+        t1 = kb.sub(kb.scale_base(tp[0], jnp.broadcast_to(omega, tp[0].shape)), tp[1])
+        t3 = kb.sub(kb.sub(tp[2], tp[0]), tp[1])
+        allc = jnp.concatenate([tp, t1[None], t1[None], t3[None]], axis=0)
+        # sharded LDE: each constraint polynomial through the four-step NTT
+        ldes = []
+        for i in range(allc.shape[0]):
+            coeffs = allc[i]
+            pad = jnp.zeros_like(coeffs)
+            padded = jax.lax.with_sharding_constraint(
+                jnp.concatenate([coeffs, pad], axis=0), shard_vec
+            )
+            ldes.append(sharded_ntt(padded))
+        lde = jnp.stack(ldes, axis=0)
+        mixed = mix_columns(kb, allc, weights)
+        folded = fold_even_odd(kb, mixed, weights[1])
+        return lde, mixed, folded
+
+    return core

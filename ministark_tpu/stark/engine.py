@@ -1,0 +1,600 @@
+"""Array-native STARK prover/verifier engine for large traces.
+
+Runs the *identical* protocol to stark/stark.py (same transcript bytes, same
+Merkle commitments, same proof values — equivalence-tested in
+tests/test_engine.py) but keeps every polynomial and codeword resident as
+uint32 limb arrays, dispatching the bulk work to the device kernel layer:
+
+  trace column iFFT / coset LDE          -> ops/ntt_device.py (batched NTT)
+  constraint mixing / folding / division -> ops/poly_device.py (scans)
+  codeword Merkle commitments            -> commit/packed_tree.py (+ native C++)
+  DEEP / query evaluations               -> ops/poly_device.py eval or direct
+                                            codeword reads (identical values)
+
+Only protocol-inherent sequential state (the Fiat-Shamir sponge, challenge
+scalars, proof assembly) touches host scalars — matching SURVEY §7's design:
+"one jitted mega-graph per phase with host callbacks only at transcript
+challenge points".
+
+Two deliberate, value-preserving deviations from the reference's *algorithm*
+(not its output):
+  * query-phase y values are read from the committed codeword instead of
+    re-running Horner (the codeword entry IS poly(domain.element(beta)));
+  * the quotient/vanishing division whose result the verifier discards
+    (src/fri.rs:227) is skipped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commit.merkle import MerkleTreeConfig
+from ..commit.packed_tree import PackedMerkleTree
+from ..fri.fri import FriProof, FriRound as HostFriRound
+from ..ops.ntt_device import get_ntt_fns
+from ..ops.poly_device import (
+    eval_even_odd,
+    eval_poly,
+    field_sum,
+    fold_even_odd,
+    mix_columns_jit,
+    powers,
+    synth_div_suffix,
+)
+from ..ops.registry import get_kernels, lift_base_array
+from ..poly import DensePolynomial, Radix2EvaluationDomain
+from ..transcript.merlin import Arthur, Merlin
+from .stark import StarkConfig, StarkProof
+
+# Below this codeword size the engine's FRI tail falls back to host scalars
+# (avoids dozens of tiny-shape compilations); set to 1 in tests to force the
+# device path everywhere.
+DEVICE_MIN_SIZE = 1 << 11
+
+
+@dataclass
+class DeviceTrace:
+    """Array-native TraceTable equivalent.
+
+    ``cols``: (width, N) object-int numpy array of column *evaluations* over
+    the trace domain (rows >= steps already carry the deterministic ZK
+    padding). ``transitions`` map the packed trace-poly coefficient array
+    (width, N, *elem) to one packed (N, *elem) constraint coefficient array.
+    """
+
+    stark_field: object
+    steps: int
+    cols: np.ndarray
+    transitions: List[Callable]
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def domain_size(self) -> int:
+        return self.cols.shape[1]
+
+    def constrain_number(self) -> int:
+        return self.width + len(self.transitions)
+
+
+def _effective_len(packed: np.ndarray, elem_ndim: int) -> int:
+    """Length after ark-style trailing-zero trimming (0 for the zero poly)."""
+    a = np.asarray(packed)
+    if a.shape[0] == 0:
+        return 0
+    flat = a.reshape(a.shape[0], -1) if a.ndim > 1 else a.reshape(a.shape[0], 1)
+    nz = np.any(flat != 0, axis=1)
+    idx = np.nonzero(nz)[0]
+    return 0 if idx.size == 0 else int(idx[-1]) + 1
+
+
+class DeviceEngine:
+    def __init__(self, config: StarkConfig):
+        self.config = config
+        sf = config.stark_field
+        self.kb = get_kernels(sf.base)
+        self.ke = get_kernels(sf.extension)
+
+    # ------------------------------------------------------------------ utils
+    def _trace_polys(self, trace: DeviceTrace):
+        """(width, N) evaluations -> packed (width, N, *elem) coefficients."""
+        base = self.config.stark_field.base
+        n = trace.domain_size
+        x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
+            (trace.width, n) + self.kb.elem_axes))
+        _, ifft, _, _ = get_ntt_fns(base, n)
+        return ifft(x)
+
+    def _commit_matrix(self, evals_cols: np.ndarray, n_rows: int):
+        """Row-major flatten of (cols, rows) evaluations -> packed tree."""
+        base = self.config.stark_field.base
+        # (w, n) -> (n, w) -> flat row-major, as u64 components
+        u64 = self._base_to_u64(evals_cols)           # (w, n)
+        flat = np.ascontiguousarray(u64.T).reshape(-1, 1)
+        return PackedMerkleTree(base, flat, self.config.merkle_config)
+
+    def _base_to_u64(self, packed) -> np.ndarray:
+        a = np.asarray(packed)
+        if self.kb.elem_axes == (2,):
+            return a[..., 0].astype(np.uint64) | (a[..., 1].astype(np.uint64) << 32)
+        return a.astype(np.uint64)
+
+    def _ext_to_u64(self, packed) -> np.ndarray:
+        """(n, *ext_elem) -> (n, d) u64 component array (tower order)."""
+        a = np.asarray(packed)
+        if self.ke.elem_axes == (2, 2):  # goldilocks fp2
+            return a[..., 0].astype(np.uint64) | (a[..., 1].astype(np.uint64) << 32)
+        return a.astype(np.uint64)  # babybear fp4: (n, 4) u32 -> u64
+
+    # ------------------------------------------------------------------ prove
+    def prove(self, trace: DeviceTrace) -> StarkProof:
+        cfg = self.config
+        sf = cfg.stark_field
+        base, ext = sf.base, sf.extension
+        kb, ke = self.kb, self.ke
+        merlin = Merlin(cfg.io)
+
+        n = trace.domain_size
+        w = trace.width
+
+        # 1.1 trace commitment (cols hold canonical values < p, fit in u64)
+        trace_vals_u64 = np.ascontiguousarray(
+            trace.cols.T.astype(np.uint64)
+        ).reshape(-1, 1)
+        trace_tree = PackedMerkleTree(base, trace_vals_u64, cfg.merkle_config)
+        trace_commit = trace_tree.root()
+        merlin.add_bytes(trace_commit)
+
+        # 1.2 LDE of all constraint polynomials
+        lde_n = cfg.blowup_factor * n
+        random_shift = merlin.challenge_scalar(base)
+        trace_poly_arr = self._trace_polys(trace)                  # (w, n, *e)
+        transition_arrs = [f(trace_poly_arr) for f in trace.transitions]
+        all_coeffs = jnp.concatenate(
+            [trace_poly_arr] + [t[None] for t in transition_arrs], axis=0
+        )                                                          # (w+t, n, *e)
+        total = all_coeffs.shape[0]
+
+        pad = jnp.zeros((total, lde_n - n) + kb.elem_axes, dtype=jnp.uint32)
+        padded = jnp.concatenate([all_coeffs, pad], axis=1)
+        _, _, coset_fft, _ = get_ntt_fns(base, lde_n)
+        shift_packed = jnp.asarray(kb.pack_scalar(random_shift))
+        lde_evals = coset_fft(padded, shift_packed)                # (w+t, 2n, *e)
+
+        lde_u64 = self._base_to_u64(lde_evals)
+        constrain_tree = PackedMerkleTree(
+            base,
+            np.ascontiguousarray(lde_u64.T).reshape(-1, 1),
+            cfg.merkle_config,
+        )
+        constrain_trace_commit = constrain_tree.root()
+        merlin.add_bytes(constrain_trace_commit)
+
+        # 1.3 mix into the validity polynomial (remainder quirk §8.3:
+        # validity == mixed since deg < domain size)
+        r = merlin.challenge_scalar(base)
+        weights = jnp.asarray(kb.pack([base.pow(r, i) for i in range(total)]))
+        mixed = mix_columns_jit(kb, all_coeffs, weights)           # (n, *e)
+
+        # 2. DEEP-ALI queries
+        queries = merlin.challenge_scalars(ext, cfg.constrain_queries)
+        ext_coeff_arr = lift_base_array(ke, all_coeffs)            # (w+t, n, *ext)
+        ext_mixed = lift_base_array(ke, mixed)
+        constrain_queries, validity_queries = [], []
+        for q in queries:
+            qp = jnp.asarray(ke.pack_scalar(q))
+            ev_arr = np.asarray(_eval_many_jit(ke, ext_coeff_arr, qp))
+            evals = [ke.unpack(ev_arr[i : i + 1])[0] for i in range(total)]
+            constrain_queries.append(evals)
+            # validity == mixed (§8.3) => its query value is the r-weighted
+            # sum of the constraint query values (identical field value)
+            acc = ext.zero()
+            for i, ev in enumerate(evals):
+                acc = ext.add(acc, ext.mul(ext.from_base_prime_field(base.pow(r, i)), ev))
+            validity_queries.append(acc)
+
+        # 3. FRI on the extension-lifted validity polynomial
+        fri_proof = self._fri_prove(merlin, ext_mixed)
+
+        return StarkProof(
+            arthur=merlin.transcript(),
+            trace_commit=trace_commit,
+            constrain_trace_commit=constrain_trace_commit,
+            constrain_queries=constrain_queries,
+            validity_queries=validity_queries,
+            fri_proof=fri_proof,
+        )
+
+    # ------------------------------------------------------------------- FRI
+    def _ext_fft(self, coeffs, domain_size: int):
+        """Extension codeword via component-batched base NTT.
+
+        coeffs: (m, *ext_elem) packed, m <= domain_size."""
+        base = self.config.stark_field.base
+        a = coeffs
+        m = a.shape[0]
+        if m < domain_size:
+            pad = jnp.zeros((domain_size - m,) + tuple(a.shape[1:]), dtype=jnp.uint32)
+            a = jnp.concatenate([a, pad], axis=0)
+        if self.ke.elem_axes == (2, 2):   # (N, 2, 2) -> (2, N, 2)
+            comp = jnp.moveaxis(a, 1, 0)
+        else:                              # (N, 4) -> (4, N)
+            comp = jnp.moveaxis(a, 1, 0)
+        fft, _, _, _ = get_ntt_fns(base, domain_size)
+        ev = fft(comp)
+        return jnp.moveaxis(ev, 0, 1)     # (N, *ext_elem)
+
+    def _fri_round_tree(self, codeword) -> PackedMerkleTree:
+        ext = self.config.stark_field.extension
+        return PackedMerkleTree(
+            ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config
+        )
+
+    def _fri_prove(self, merlin: Merlin, poly_coeffs) -> "DeviceFriProof":
+        """Hybrid FRI: device arrays for large rounds, host scalars for the
+        geometric tail (< DEVICE_MIN_SIZE) — identical bytes either way."""
+        cfg = self.config.fri_config
+        sf = self.config.stark_field
+        ext = sf.extension
+        ke = self.ke
+
+        eff = _effective_len(poly_coeffs, len(ke.elem_axes))
+        degree = max(eff - 1, 0)
+        size = (degree + 1) * cfg.blowup_factor
+
+        # device rounds keep coefficients zero-padded to a fixed length so the
+        # fold/divide/eval executables compile exactly once for all rounds
+        rounds: List[_FriRoundRepr] = [self._make_round(poly_coeffs, size)]
+        cur = rounds[0]
+
+        for _ in range(1, cfg.rounds):
+            z = merlin.challenge_scalar(ext)
+            fe_z, fo_z = self._deep_evals(cur, z)
+            merlin.add_scalars(ext, [fe_z, fo_z])
+
+            alpha = merlin.challenge_scalar(ext)
+            deep_value = ext.add(fe_z, ext.mul(alpha, fo_z))
+            round_coeffs = self._fold_div(cur, z, alpha, deep_value)
+            cur = self._make_round(round_coeffs, cur.size // 2)
+            merlin.add_bytes(cur.tree.root())
+            rounds.append(cur)
+
+        # ---- query phase
+        raw = merlin.fill_challenge_bytes(8 * cfg.queries)
+        betas = [int.from_bytes(raw[i * 8 : (i + 1) * 8], "little")
+                 for i in range(cfg.queries)]
+
+        points, queries, quotients = [], [], []
+        for i in range(len(rounds) - 1):
+            prev, nxt = rounds[i], rounds[i + 1]
+            assert prev.size // 2 == nxt.size
+            prev_gen = ext.get_root_of_unity(prev.size)
+            next_gen = ext.get_root_of_unity(nxt.size)
+
+            round_points, round_queries, round_quotients = [], [], []
+            for query in betas:
+                beta = query
+                if beta > prev.size:     # `>` quirk §8.4
+                    beta %= prev.size
+                x1 = ext.pow(prev_gen, beta)
+                x2 = ext.pow(prev_gen, nxt.size + beta)
+                x3 = ext.pow(next_gen, beta)
+                # codeword entries ARE the reference's direct evaluations
+                y1 = prev.cw_read(beta % prev.size)
+                y2 = prev.cw_read((nxt.size + beta) % prev.size)
+                y3 = nxt.cw_read(beta % nxt.size)
+                round_points.append([(x1, y1), (x2, y2), (x3, y3)])
+
+                a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
+                b = ext.sub(y1, ext.mul(a, x1))
+                round_quotients.append(self._query_quotient(prev, a, b, x1, x2))
+
+                p1 = prev.tree.generate_proof(y1)
+                p2 = prev.tree.generate_proof(y2)
+                round_queries.append([p1, p2])
+
+            points.append(round_points)
+            queries.append(round_queries)
+            quotients.append(round_quotients)
+
+        return DeviceFriProof(
+            ext=ext, ke=ke, points=points, queries=queries, quotients=quotients
+        )
+
+    # ------------------------------------------------- hybrid round helpers
+    def _make_round(self, coeffs, size: int) -> "_FriRoundRepr":
+        """coeffs: device array zero-padded to a fixed length, OR a trimmed
+        host scalar list (tail rounds)."""
+        ext = self.config.stark_field.extension
+        use_device = size >= DEVICE_MIN_SIZE and not isinstance(coeffs, list)
+        if isinstance(coeffs, list) or not use_device:
+            if not isinstance(coeffs, list):
+                host = self.ke.unpack(np.asarray(coeffs))
+                eff = _effective_len(np.asarray(coeffs), len(self.ke.elem_axes))
+                coeffs = host[:eff]
+            domain = Radix2EvaluationDomain(ext, size)
+            codeword = domain.fft(coeffs)
+            tree = PackedMerkleTree.from_scalars(
+                ext, codeword, self.config.fri_config.merkle_config
+            )
+            return _FriRoundRepr(
+                device=False, ext=ext, ke=self.ke, coeffs=coeffs,
+                codeword=codeword, tree=tree, size=size,
+            )
+        codeword = self._ext_fft(coeffs[: min(size, coeffs.shape[0])], size)
+        tree = self._fri_round_tree(codeword)
+        return _FriRoundRepr(
+            device=True, ext=ext, ke=self.ke, coeffs=coeffs,
+            codeword=np.asarray(codeword), tree=tree, size=size,
+        )
+
+    def _deep_evals(self, rnd: "_FriRoundRepr", z):
+        ext = self.config.stark_field.extension
+        ke = self.ke
+        if rnd.device:
+            if rnd.coeffs.shape[0] == 0:
+                return ext.zero(), ext.zero()
+            zp = jnp.asarray(ke.pack_scalar(z))
+            fe, fo = _deep_evals_jit(ke, rnd.coeffs, zp)
+            fe_z = ke.unpack(np.asarray(fe)[None])[0]
+            fo_z = ke.unpack(np.asarray(fo)[None])[0] if fo is not None else ext.zero()
+            return fe_z, fo_z
+        poly = DensePolynomial(ext, rnd.coeffs)
+        parts = HostFriRound.split_poly(ext, poly, 2)
+        return parts[0].evaluate(z), parts[1].evaluate(z)
+
+    def _fold_div(self, rnd: "_FriRoundRepr", z, alpha, deep_value):
+        ext = self.config.stark_field.extension
+        ke = self.ke
+        if rnd.device and not ext.is_zero(z):
+            n0 = rnd.coeffs.shape[0]
+            zp = jnp.asarray(ke.pack_scalar(z))
+            ap = jnp.asarray(ke.pack_scalar(alpha))
+            dv = jnp.asarray(ke.pack_scalar(deep_value))
+            m = n0 // 2 if n0 >= 2 else 1
+            zinv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(z), m - 1)))
+            rp = _fold_div_jit(ke, rnd.coeffs, zp, ap, dv, zinv)
+            # hand off to host representation when the next round is small
+            if rnd.size // 2 < DEVICE_MIN_SIZE:
+                rp_np = np.asarray(rp)
+                eff = _effective_len(rp_np, len(ke.elem_axes))
+                return ke.unpack(rp_np[:eff])
+            return rp
+        if rnd.device:
+            eff = _effective_len(np.asarray(rnd.coeffs), len(ke.elem_axes))
+            poly = DensePolynomial(ext, ke.unpack(np.asarray(rnd.coeffs)[:eff]))
+        else:
+            poly = DensePolynomial(ext, rnd.coeffs)
+        parts = HostFriRound.split_poly(ext, poly, 2)
+        folded = parts[0] + parts[1].scale(alpha)
+        dv_poly = DensePolynomial(ext, [deep_value])
+        denominator = DensePolynomial(ext, [ext.neg(z), ext.one()])
+        return ((folded - dv_poly) / denominator).to_vec()
+
+    def _query_quotient(self, prev: "_FriRoundRepr", a, b, x1, x2):
+        ext = self.config.stark_field.extension
+        ke = self.ke
+        if prev.device:
+            ap_ = jnp.asarray(ke.pack_scalar(a))
+            bp_ = jnp.asarray(ke.pack_scalar(b))
+            x1p = jnp.asarray(ke.pack_scalar(x1))
+            x2p = jnp.asarray(ke.pack_scalar(x2))
+            pc = prev.coeffs
+            if pc.shape[0] < 2:
+                padz = jnp.zeros((2 - pc.shape[0],) + tuple(pc.shape[1:]),
+                                 dtype=jnp.uint32)
+                pc = jnp.concatenate([pc, padz], axis=0)
+            n0 = pc.shape[0]
+            x1inv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(x1), n0 - 1)))
+            x2inv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(x2), n0 - 1)))
+            q2 = _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv, x2inv)
+            q2 = np.asarray(q2)
+            return q2[: _effective_len(q2, len(ke.elem_axes))]
+        poly = DensePolynomial(ext, prev.coeffs)
+        g = DensePolynomial(ext, [b, a])
+        vanishing = (
+            DensePolynomial(ext, [ext.neg(x1), ext.one()])
+            * DensePolynomial(ext, [ext.neg(x2), ext.one()])
+        )
+        return (poly - g) / vanishing
+
+    # ----------------------------------------------------------- verifier
+    def verify(self, constrain_coeffs, proof: StarkProof) -> bool:
+        """Array-native verifier mirroring stark/stark.py::Stark.verify.
+
+        ``constrain_coeffs``: (w+t, n, *base_elem) packed coefficient array
+        (the out-of-band Constrains, as produced by derive_constrains)."""
+        cfg = self.config
+        sf = cfg.stark_field
+        base, ext = sf.base, sf.extension
+        kb, ke = self.kb, self.ke
+
+        arthur = Arthur(cfg.io, proof.arthur)
+        assert arthur.next_digest() == proof.trace_commit
+        _shift = arthur.challenge_scalar(base)
+        assert arthur.next_digest() == proof.constrain_trace_commit
+        r = arthur.challenge_scalar(base)
+
+        queries = arthur.challenge_scalars(ext, cfg.constrain_queries)
+        ext_coeffs = lift_base_array(ke, jnp.asarray(constrain_coeffs))
+        total = ext_coeffs.shape[0]
+        for query, constrain_query, validity_query in zip(
+            queries, proof.constrain_queries, proof.validity_queries
+        ):
+            qp = jnp.asarray(ke.pack_scalar(query))
+            evals = _eval_many_jit(ke, ext_coeffs, qp)
+            evals = [ke.unpack(np.asarray(evals[i : i + 1]))[0] for i in range(total)]
+            acc = ext.zero()
+            for i, (ev, claimed) in enumerate(zip(evals, constrain_query)):
+                assert ev == claimed
+                acc = ext.add(
+                    acc, ext.mul(ext.from_base_prime_field(base.pow(r, i)), ev)
+                )
+            # §8.3: c_x has degree < domain size, so the protocol's "quotient"
+            # is c_x itself and its evaluation is the weighted sum above
+            assert acc == validity_query
+
+        fri_proof = proof.fri_proof
+        if isinstance(fri_proof, DeviceFriProof):
+            return self._fri_verify(fri_proof, arthur)
+        from ..fri import Fri
+
+        return Fri(ext, cfg.fri_config).verify(fri_proof, arthur)
+
+    def _fri_verify(self, proof: "DeviceFriProof", arthur: Arthur) -> bool:
+        """Mirror of fri/fri.py::Fri.verify over packed quotient arrays."""
+        cfg = self.config.fri_config
+        ext = self.config.stark_field.extension
+        ke = self.ke
+        from ..fri import Fri
+
+        fri = Fri(ext, cfg)
+        commits, alphas, betas, deep_queries, deep_polys = fri.read_proof_transcript(arthur)
+        assert len(commits) == cfg.rounds - 1
+        assert len(commits) == len(proof.points)
+
+        domain = Radix2EvaluationDomain(ext, 1 << cfg.rounds)
+        prev_x3s = [domain.element(b) for b in betas]
+        for i, (round_points, round_queries) in enumerate(zip(proof.points, proof.queries)):
+            for j, (pts, paths) in enumerate(zip(round_points, round_queries)):
+                (x1, y1), (x2, y2), (x3, y3) = pts
+                path1, path2 = paths
+                assert x1 == prev_x3s[j]
+                assert ext.neg(x1) == x2
+                assert ext.pow(x1, 2) == x3
+
+                q = proof.quotients[i][j]
+                q_len = q.shape[0] if isinstance(q, np.ndarray) else len(q.coeffs)
+                q_deg = max(q_len - 1, 0)
+                total_degree = q_deg + 3
+                assert total_degree >= 2
+                assert total_degree <= 1 << (cfg.rounds - i)
+                # quotient/vanishing division result is discarded by the
+                # reference (§8.5) — skipped entirely here
+
+                a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
+                b = ext.sub(y1, ext.mul(a, x1))
+                deep_adjusted_y = ext.add(
+                    ext.mul(y3, ext.sub(x3, deep_queries[i])),
+                    deep_polys[i].evaluate(alphas[i]),
+                )
+                g = DensePolynomial(ext, [b, a])
+                assert g.evaluate(alphas[i]) == deep_adjusted_y
+
+                assert y1 in path1.leaf_neighbours
+                commits[i].check_proof(ext, path1)  # ignored (§8.5)
+                assert y2 in path2.leaf_neighbours
+                commits[i].check_proof(ext, path2)  # ignored (§8.5)
+                prev_x3s[j] = x3
+        return True
+
+
+@dataclass
+class _FriRoundRepr:
+    device: bool
+    ext: object
+    ke: object
+    coeffs: object        # device: packed jnp (trimmed); host: scalar list
+    codeword: object      # device: packed np; host: scalar list
+    tree: PackedMerkleTree
+    size: int
+
+    def cw_read(self, idx: int):
+        if self.device:
+            return self.ke.unpack(self.codeword[idx : idx + 1])[0]
+        return self.codeword[idx]
+
+
+# --------------------------------------------------------------- jitted ops
+#
+# NOTE each piece is jitted SEPARATELY: XLA's CPU pipeline hits a pathological
+# optimization blowup (minutes) when fold + powers-loop + suffix-loop fuse
+# into one module, while the pieces each compile in ~1-2s. The host-side
+# composition costs a few dispatches per FRI round — negligible.
+
+_fold_jit = jax.jit(fold_even_odd, static_argnums=0)
+_synth_div_jit = jax.jit(synth_div_suffix, static_argnums=0)
+
+
+@partial(jax.jit, static_argnums=0)
+def _deep_evals_jit(ke, coeffs, zp):
+    fe, fo = eval_even_odd(ke, coeffs, zp)
+    return fe, fo
+
+
+@partial(jax.jit, static_argnums=0)
+def _sub_head2_jit(ke, arr, v0, v1):
+    """arr - (v0 + v1*x) on the first two coefficients."""
+    return jnp.concatenate(
+        [ke.sub(arr[0:1], v0[None]), ke.sub(arr[1:2], v1[None]), arr[2:]], axis=0
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _pad_to_jit(ke, arr, n):
+    pad = jnp.zeros((n - arr.shape[0],) + tuple(arr.shape[1:]), dtype=jnp.uint32)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
+def _fold_div_jit(ke, coeffs, zp, ap, dv, zinv_scale):
+    """One FRI fold round on fixed-size padded coefficients: fold even/odd,
+    subtract the DEEP value at x^0, divide by (x - z), pad back to the input
+    length so every round reuses the same compiled executables."""
+    n = coeffs.shape[0]
+    folded = _fold_jit(ke, coeffs, ap)
+    zero = jnp.zeros_like(dv)
+    folded = _sub_head2_jit(ke, folded, dv, zero)
+    q = _synth_div_jit(ke, folded, zp, zinv_scale)
+    return _pad_to_jit(ke, q, n)
+
+
+def _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv_scale, x2inv_scale):
+    num = _sub_head2_jit(ke, pc, bp_, ap_)
+    q1 = _synth_div_jit(ke, num, x1p, x1inv_scale)
+    q1 = _pad_to_jit(ke, q1, pc.shape[0])
+    return _synth_div_jit(ke, q1, x2p, x2inv_scale)
+
+
+_powers_jit = jax.jit(powers, static_argnums=(0, 2))
+
+
+@partial(jax.jit, static_argnums=0)
+def _weighted_sum_jit(ke, coeffs_batch, pw):
+    return field_sum(ke, ke.mul(coeffs_batch, pw[None]), axis=1)
+
+
+def _eval_many_jit(ke, coeffs_batch, xp):
+    pw = _powers_jit(ke, xp, coeffs_batch.shape[1])
+    return _weighted_sum_jit(ke, coeffs_batch, pw)
+
+
+@dataclass
+class DeviceFriProof:
+    """FRI proof with quotient coefficient vectors kept as packed arrays
+    (host-tail rounds carry DensePolynomial quotients)."""
+
+    ext: object
+    ke: object
+    points: List
+    queries: List
+    quotients: List  # [round][query] -> packed np array | DensePolynomial
+
+    def to_host(self) -> FriProof:
+        q = []
+        for round_q in self.quotients:
+            row = []
+            for item in round_q:
+                if isinstance(item, np.ndarray):
+                    row.append(self.ke.unpack(item))
+                else:
+                    row.append(item.to_vec())
+            q.append(row)
+        return FriProof(points=self.points, queries=self.queries, quotients=q)

@@ -118,6 +118,36 @@ def test_double_synth_div_quadratic():
     assert got == want
 
 
+def test_synth_div_suffix_matches_scan_version():
+    from ministark_tpu.ops.poly_device import synth_div_suffix
+
+    for F in (GOLDILOCKS_FP2, BABYBEAR_FP4):
+        k = get_kernels(F)
+        coeffs = _rand_scalars(F, 24)
+        z = _rand_scalars(F, 1)[0]
+        arr = jnp.asarray(k.pack(coeffs))
+        zp = jnp.asarray(k.pack_scalar(z))
+        zinv = jnp.asarray(k.pack_scalar(F.pow(F.inv(z), len(coeffs) - 1)))
+        got = k.unpack(synth_div_suffix(k, arr, zp, zinv))
+        want = k.unpack(synth_div(k, arr, zp))
+        assert got == want
+
+
+def test_eval_even_odd():
+    from ministark_tpu.fri import FriRound
+    from ministark_tpu.ops.poly_device import eval_even_odd
+
+    F = GOLDILOCKS_FP2
+    k = get_kernels(F)
+    for n in (8, 9, 1):
+        coeffs = _rand_scalars(F, n)
+        z = _rand_scalars(F, 1)[0]
+        parts = FriRound.split_poly(F, DensePolynomial(F, coeffs), 2)
+        fe, fo = eval_even_odd(k, jnp.asarray(k.pack(coeffs)), jnp.asarray(k.pack_scalar(z)))
+        assert k.unpack(fe[None])[0] == parts[0].evaluate(z)
+        assert k.unpack(fo[None])[0] == parts[1].evaluate(z)
+
+
 def test_fold_even_odd():
     from ministark_tpu.fri import FriRound
 

@@ -83,9 +83,17 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", (1 << 20) - 1))
     base_steps = int(os.environ.get("BENCH_BASE_STEPS", (1 << 13) - 1))
 
-    # warm-up at a small size compiles most executables via the persistent cache
+    # First device dispatch through this environment's TPU tunnel costs
+    # minutes (session establishment), and each executable compiles once per
+    # process; run prove once cold to absorb both, then measure steady state
+    # (the production regime: a prover service proves many traces).
+    import jax.numpy as jnp
+
+    jnp.zeros((8, 128), jnp.uint32).sum().block_until_ready()  # tunnel warmup
+    t_cold, _ = (device_prove(steps)[0], None) if os.environ.get("BENCH_COLD_ONLY") != "1" else (None, None)
     t_prove, t_verify = device_prove(steps)
     rows_per_s = steps / t_prove
+    print(f"# cold prove {t_cold if t_cold is None else round(t_cold, 2)}s", file=sys.stderr)
 
     t_host = host_prove(base_steps)
     # N log N extrapolation of the single-core oracle to the benchmark size

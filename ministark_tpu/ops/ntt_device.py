@@ -93,15 +93,70 @@ def _ntt_core(ops, x, twiddles, n):
 
 
 def _powers(ops, scalar, n):
-    """[1, s, s^2, ..., s^(n-1)] via log-depth associative scan on device."""
-    base = jnp.broadcast_to(scalar, (n,) + scalar.shape)
-    one = jnp.zeros_like(base[0])
-    if base.ndim == 2:  # limbed (goldilocks)
-        one = one.at[..., 0].set(1)
+    """[1, s, s^2, ..., s^(n-1)] via exponent-bit ladder (fixed shapes,
+    log2(n) fori_loop iterations — see ops/poly_device.py::powers)."""
+    one = jnp.zeros_like(scalar)
+    if scalar.ndim == 1:  # limbed (goldilocks): [1, 0]
+        one = one.at[0].set(1)
     else:
         one = one + 1
-    seq = jnp.concatenate([one[None], base[:-1]], axis=0)
-    return jax.lax.associative_scan(ops.mul, seq, axis=0)
+    pw0 = jnp.broadcast_to(one, (n,) + tuple(scalar.shape))
+    if n == 1:
+        return pw0
+    log_n = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(b, carry):
+        pw, x2 = carry
+        bit = ((idx >> b) & 1) == 1
+        mask = bit.reshape((n,) + (1,) * scalar.ndim)
+        pw = jnp.where(mask, ops.mul(pw, jnp.broadcast_to(x2, pw.shape)), pw)
+        return pw, ops.mul(x2, x2)
+
+    pw, _ = jax.lax.fori_loop(0, log_n, body, (pw0, scalar))
+    return pw
+
+
+@lru_cache(maxsize=None)
+def _root_powers_table(p: int, root: int, count: int):
+    """[root^0 .. root^(count-1)] as a host tuple (cached)."""
+    out = [1] * count
+    for i in range(1, count):
+        out[i] = (out[i - 1] * root) % p
+    return tuple(out)
+
+
+def _ntt_fori(ops, x, rev, tw_table, n):
+    """Fixed-shape in-place DIT NTT: log2(n) fori_loop iterations, each a
+    handful of gathers + one butterfly over the full (batch, n[, limbs])
+    array. The tiny loop body keeps backend compile time flat in n (the
+    unrolled-stages variant costs minutes per size on some backends), while
+    execution stays bandwidth-bound.
+
+    tw_table: (n/2[, limbs]) powers root^0..root^(n/2-1)."""
+    log_n = n.bit_length() - 1
+    x = x[:, rev]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+
+    def stage(s, x):
+        su = s.astype(jnp.uint32)
+        half = jnp.uint32(1) << (su - 1)            # L/2 for L = 2^s
+        q = idx & (2 * half - 1)                    # position within block
+        is_hi = q >= half
+        lo_idx = idx - jnp.where(is_hi, half, jnp.uint32(0))
+        hi_idx = lo_idx + half
+        u = x[:, lo_idx]
+        v = x[:, hi_idx]
+        # twiddle exponent k << (log_n - s) with k = idx mod half
+        exp = (idx & (half - 1)) << (jnp.uint32(log_n) - su)
+        w = tw_table[exp]
+        wv = ops.mul(v, w[None])
+        out_lo = ops.add(u, wv)
+        out_hi = ops.sub(u, wv)
+        mask = is_hi.reshape((1, n) + (1,) * (x.ndim - 2))
+        return jnp.where(mask, out_hi, out_lo)
+
+    return jax.lax.fori_loop(1, log_n + 1, stage, x)
 
 
 def make_ntt_fns(field, n: int):
@@ -109,7 +164,7 @@ def make_ntt_fns(field, n: int):
 
     All take/return (batch, n[, limbs]) uint32 arrays in natural order.
     The coset variants take the offset as a traced device scalar (it is a
-    Fiat-Shamir challenge). Twiddles/bit-rev tables are static constants.
+    Fiat-Shamir challenge). Twiddle/bit-rev tables are static constants.
     """
     ops = _field_ops(field)
     p = field.p
@@ -118,30 +173,32 @@ def make_ntt_fns(field, n: int):
     n_inv = field.inv(field.from_int(n))
 
     rev = jnp.asarray(_bitrev_indices(n))
-    tw_fwd = _pack_twiddles(ops, p, root, n)
-    tw_inv = _pack_twiddles(ops, p, root_inv, n)
+    half = max(n // 2, 1)
+    tw_fwd = jnp.asarray(ops.pack(list(_root_powers_table(p, root, half))))
+    tw_inv = jnp.asarray(ops.pack(list(_root_powers_table(p, root_inv, half))))
     n_inv_packed = jnp.asarray(ops.pack([n_inv])[0])
+    powers_for_ops = _powers
 
     @jax.jit
     def fft(x):
-        return _ntt_core(ops, x[:, rev], tw_fwd, n)
+        return _ntt_fori(ops, x, rev, tw_fwd, n)
 
     @jax.jit
     def ifft(x):
-        y = _ntt_core(ops, x[:, rev], tw_inv, n)
+        y = _ntt_fori(ops, x, rev, tw_inv, n)
         return ops.mul(y, n_inv_packed[None, None])
 
     @jax.jit
     def coset_fft(x, offset):
-        pw = _powers(ops, offset, n)
+        pw = powers_for_ops(ops, offset, n)
         scaled = ops.mul(x, pw[None])
-        return _ntt_core(ops, scaled[:, rev], tw_fwd, n)
+        return _ntt_fori(ops, scaled, rev, tw_fwd, n)
 
     @jax.jit
     def coset_ifft(x, offset_inv):
-        y = _ntt_core(ops, x[:, rev], tw_inv, n)
+        y = _ntt_fori(ops, x, rev, tw_inv, n)
         y = ops.mul(y, n_inv_packed[None, None])
-        pw = _powers(ops, offset_inv, n)
+        pw = powers_for_ops(ops, offset_inv, n)
         return ops.mul(y, pw[None])
 
     return fft, ifft, coset_fft, coset_ifft

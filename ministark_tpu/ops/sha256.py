@@ -1,0 +1,141 @@
+"""Batched SHA-256 on device (uint32 lanes, jnp/XLA).
+
+The compression function is pure 32-bit integer arithmetic — ideal VPU work:
+one kernel invocation hashes n messages in parallel, vectorized over lanes.
+Message schedules and rounds are statically unrolled (~1.1k ops per block).
+
+Used for Merkle inner levels (fixed 64-byte messages -> exactly 2 blocks) and
+as the building block for on-device leaf hashing. Digest-equal to hashlib /
+the native C++ engine (tests/test_ops_sha256.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+
+_K = np.array([
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2], dtype=np.uint32)
+
+_H0 = np.array([
+    0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+    0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19], dtype=np.uint32)
+
+
+def _rotr(x, n):
+    return (x >> n) | (x << (32 - n))
+
+
+def _compress_block(state, w16):
+    """state: (8, lanes) u32; w16: (16, lanes) u32. Both loops are
+    ``fori_loop``s over fixed shapes — XLA compile time is pathological for
+    long unrolled integer chains, so the graph must stay tiny."""
+    lanes = w16.shape[1]
+    w = jnp.concatenate([w16, jnp.zeros((48, lanes), U32)], axis=0)
+
+    def sched(i, w):
+        w15 = w[i - 15]
+        w2 = w[i - 2]
+        s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> 3)
+        s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> 10)
+        return w.at[i].set(w[i - 16] + s0 + w[i - 7] + s1)
+
+    w = jax.lax.fori_loop(16, 64, sched, w)
+    k = jnp.asarray(_K)
+
+    def rnd(i, s):
+        a, b, c, d, e, f, g, h = s
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + k[i] + w[i]
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        return (t1 + t2, a, b, c, d + t1, e, f, g)
+
+    out = jax.lax.fori_loop(0, 64, rnd, tuple(state))
+    return [s + v for s, v in zip(state, out)]
+
+
+def sha256_blocks(msgs, active=None):
+    """msgs: (lanes, n_blocks, 16) uint32 big-endian words (already padded).
+    active: optional (lanes, n_blocks) bool — lanes skip inactive blocks
+    (for per-lane variable block counts). Returns (lanes, 8) digests."""
+    lanes = msgs.shape[0]
+    n_blocks = msgs.shape[1]
+    state = [jnp.broadcast_to(jnp.uint32(h), (lanes,)) for h in _H0]
+    for b in range(n_blocks):
+        w16 = jnp.transpose(msgs[:, b, :])  # (16, lanes)
+        new_state = _compress_block(state, w16)
+        if active is None:
+            state = new_state
+        else:
+            m = active[:, b]
+            state = [jnp.where(m, ns, s) for ns, s in zip(new_state, state)]
+    return jnp.stack(state, axis=1)
+
+
+sha256_blocks_jit = jax.jit(sha256_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Merkle inner level: parents of a (n, 8)-digest level with fan-in 2.
+# Message = 64 bytes (two digests) -> block0 = the digests, block1 = padding.
+# ---------------------------------------------------------------------------
+
+_PAD_BLOCK_64 = np.zeros(16, dtype=np.uint32)
+_PAD_BLOCK_64[0] = 0x80000000
+_PAD_BLOCK_64[15] = 512  # message length in bits
+
+
+@jax.jit
+def merkle_inner_level2(digests):
+    """digests: (n, 8) uint32 (big-endian words) -> (n//2, 8) parents."""
+    n = digests.shape[0]
+    pairs = digests.reshape(n // 2, 16)
+    pad = jnp.broadcast_to(jnp.asarray(_PAD_BLOCK_64), (n // 2, 16))
+    msgs = jnp.stack([pairs, pad], axis=1)
+    return sha256_blocks(msgs)
+
+
+def merkle_inner_levels_device(leaf_digests, fan_in: int = 2):
+    """Build all upper levels on device; returns the concatenated levels as a
+    (total, 8) uint32 array (level-by-level order, root last)."""
+    assert fan_in == 2, "device path supports fan-in 2 (the protocol's choice)"
+    levels = []
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        cur = merkle_inner_level2(cur)
+        levels.append(cur)
+    return jnp.concatenate(levels, axis=0) if levels else leaf_digests[:0]
+
+
+def digests_to_bytes(digests) -> np.ndarray:
+    """(n, 8) uint32 big-endian words -> (n, 32) uint8."""
+    d = np.asarray(digests)
+    out = np.empty((d.shape[0], 32), dtype=np.uint8)
+    for i in range(8):
+        out[:, 4 * i] = (d[:, i] >> 24) & 0xFF
+        out[:, 4 * i + 1] = (d[:, i] >> 16) & 0xFF
+        out[:, 4 * i + 2] = (d[:, i] >> 8) & 0xFF
+        out[:, 4 * i + 3] = d[:, i] & 0xFF
+    return out
+
+
+def bytes_to_digests(b: np.ndarray):
+    """(n, 32) uint8 -> (n, 8) uint32 big-endian words."""
+    b = np.asarray(b, dtype=np.uint32).reshape(-1, 8, 4)
+    return jnp.asarray((b[:, :, 0] << 24) | (b[:, :, 1] << 16) | (b[:, :, 2] << 8) | b[:, :, 3])

@@ -102,6 +102,22 @@ class DeviceEngine:
         sf = config.stark_field
         self.kb = get_kernels(sf.base)
         self.ke = get_kernels(sf.extension)
+        self._trace_on = bool(int(__import__("os").environ.get("MINISTARK_TRACE", "0")))
+        self._t0 = None
+
+    def _t(self, label: str):
+        """Phase timing to stderr when MINISTARK_TRACE=1."""
+        if not self._trace_on:
+            return
+        import sys
+        import time as _time
+
+        now = _time.time()
+        if self._t0 is not None:
+            print(f"[engine] {self._last_label}: {now - self._t0:.2f}s",
+                  file=sys.stderr, flush=True)
+        self._t0 = now
+        self._last_label = label
 
     # ------------------------------------------------------------------ utils
     def _trace_polys(self, trace: DeviceTrace):
@@ -145,6 +161,7 @@ class DeviceEngine:
         n = trace.domain_size
         w = trace.width
 
+        self._t("trace_commit")
         # 1.1 trace commitment (cols hold canonical values < p, fit in u64)
         trace_vals_u64 = np.ascontiguousarray(
             trace.cols.T.astype(np.uint64)
@@ -153,6 +170,7 @@ class DeviceEngine:
         trace_commit = trace_tree.root()
         merlin.add_bytes(trace_commit)
 
+        self._t("lde")
         # 1.2 LDE of all constraint polynomials
         lde_n = cfg.blowup_factor * n
         random_shift = merlin.challenge_scalar(base)
@@ -169,6 +187,7 @@ class DeviceEngine:
         shift_packed = jnp.asarray(kb.pack_scalar(random_shift))
         lde_evals = coset_fft(padded, shift_packed)                # (w+t, 2n, *e)
 
+        self._t("constrain_tree")
         lde_u64 = self._base_to_u64(lde_evals)
         constrain_tree = PackedMerkleTree(
             base,
@@ -178,12 +197,14 @@ class DeviceEngine:
         constrain_trace_commit = constrain_tree.root()
         merlin.add_bytes(constrain_trace_commit)
 
+        self._t("mix")
         # 1.3 mix into the validity polynomial (remainder quirk §8.3:
         # validity == mixed since deg < domain size)
         r = merlin.challenge_scalar(base)
         weights = jnp.asarray(kb.pack([base.pow(r, i) for i in range(total)]))
         mixed = mix_columns_jit(kb, all_coeffs, weights)           # (n, *e)
 
+        self._t("deep_ali")
         # 2. DEEP-ALI queries
         queries = merlin.challenge_scalars(ext, cfg.constrain_queries)
         ext_coeff_arr = lift_base_array(ke, all_coeffs)            # (w+t, n, *ext)
@@ -201,9 +222,11 @@ class DeviceEngine:
                 acc = ext.add(acc, ext.mul(ext.from_base_prime_field(base.pow(r, i)), ev))
             validity_queries.append(acc)
 
+        self._t("fri")
         # 3. FRI on the extension-lifted validity polynomial
         fri_proof = self._fri_prove(merlin, ext_mixed)
 
+        self._t("done")
         return StarkProof(
             arthur=merlin.transcript(),
             trace_commit=trace_commit,
@@ -255,7 +278,8 @@ class DeviceEngine:
         rounds: List[_FriRoundRepr] = [self._make_round(poly_coeffs, size)]
         cur = rounds[0]
 
-        for _ in range(1, cfg.rounds):
+        for _ri in range(1, cfg.rounds):
+            self._t(f"fri_round_{_ri}_size{cur.size}")
             z = merlin.challenge_scalar(ext)
             fe_z, fo_z = self._deep_evals(cur, z)
             merlin.add_scalars(ext, [fe_z, fo_z])
@@ -274,6 +298,7 @@ class DeviceEngine:
 
         points, queries, quotients = [], [], []
         for i in range(len(rounds) - 1):
+            self._t(f"fri_query_round_{i}")
             prev, nxt = rounds[i], rounds[i + 1]
             assert prev.size // 2 == nxt.size
             prev_gen = ext.get_root_of_unity(prev.size)

@@ -154,6 +154,16 @@ class QuadExtField:
         # FftField for Fp2ConfigWrapper / Fp4ConfigWrapper: the 2-adic root
         # lives in the base prime subfield (c0 = base root, rest 0).
         self.two_adicity = self.base.two_adicity
+        # Frobenius coefficients NONRESIDUE^((q^i - 1) / 2) for i < degree
+        # (the hard-coded tables in reference src/field.rs:53-62,82-107 are
+        # derived this way; scripts/derive_field_params.py re-derives them)
+        d = self.extension_degree
+        q = self.base.p
+        self._frobenius_coeffs = None
+        if isinstance(base_field, PrimeField):
+            self._frobenius_coeffs = [
+                pow(nonresidue, (q**i - 1) // 2, q) for i in range(2)
+            ]
 
     @property
     def base(self) -> PrimeField:
@@ -223,6 +233,14 @@ class QuadExtField:
     def get_root_of_unity(self, n: int):
         root = self.base.get_root_of_unity(n)
         return self.from_base_prime_field(root)
+
+    def frobenius_map(self, a, power: int):
+        """x -> x^(q^power): c1 is multiplied by the Frobenius coefficient
+        (ark QuadExtField::frobenius_map; quadratic towers only)."""
+        assert self._frobenius_coeffs is not None, "frobenius on quad-over-prime only"
+        F = self.base_field
+        coeff = self._frobenius_coeffs[power % 2]
+        return (a[0], F.mul(a[1], coeff))
 
     # --- encodings ---
     def to_string(self, a) -> str:

@@ -1,0 +1,164 @@
+"""On-device Merkle leaf hashing: decimal Display-string preimages + SHA-256.
+
+The reference hashes leaf groups as SHA-256 over the concatenated ASCII
+decimal strings of the field elements (src/merkle.rs:162-168) — an awkward
+fit for SIMD lanes, handled here entirely on device:
+
+  1. every u64 component is decomposed into 20 decimal digits with a
+     multiply-by-magic divide-by-10 ladder (no integer division needed);
+  2. each leaf group becomes a sequence of *segments* (constant byte runs
+     like "QuadExtField(" and variable-length digit runs); per-lane segment
+     lengths/prefix offsets place every output byte with masked gathers;
+  3. standard SHA-256 padding positions (0x80, bit length) are computed
+     per lane and the batched compression runs with per-lane active block
+     masks (ops/sha256.py).
+
+Supported element formats (field_fmt codes from commit/packed_tree.py):
+  fmt 0 — base field decimal           (1 u64 component)
+  fmt 1 — QuadExtField(c0 + c1 * u)    (2 components)
+  fmt 2 — nested Fp4 Display           (4 components)
+
+Digest-equal to the native C++ engine and hashlib (tests/test_leaf_hash.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sha256 import sha256_blocks
+from .u32 import mul64_wide
+
+U32 = jnp.uint32
+
+_MAGIC_LO = jnp.uint32(0xCCCCCCCD)
+_MAGIC_HI = jnp.uint32(0xCCCCCCCC)
+MAX_DIGITS = 20
+
+
+def u64_digits(lo, hi):
+    """(…,) u32 pairs -> (…, 20) digits, least-significant first, plus
+    (…,) digit-count lengths (>= 1)."""
+    digits = []
+    for _ in range(MAX_DIGITS):
+        # q = floor(v / 10) = mulhi64(v, 0xCCCC...CD) >> 3
+        x0, x1, x2, x3 = mul64_wide(lo, hi, _MAGIC_LO, _MAGIC_HI)
+        q_lo = (x2 >> 3) | (x3 << 29)
+        q_hi = x3 >> 3
+        d = lo - q_lo * jnp.uint32(10)
+        digits.append(d)
+        lo, hi = q_lo, q_hi
+    dig = jnp.stack(digits, axis=-1)  # (…, 20) LSB first
+    nz = dig != 0
+    idx = jnp.arange(MAX_DIGITS, dtype=jnp.int32)
+    top = jnp.max(jnp.where(nz, idx + 1, 0), axis=-1)
+    length = jnp.maximum(top, 1)
+    return dig, length
+
+
+# segment descriptors per format: list of ("const", bytes) | ("digits", comp)
+_FMT_SEGMENTS = {
+    0: [("digits", 0)],
+    1: [("const", b"QuadExtField("), ("digits", 0), ("const", b" + "),
+        ("digits", 1), ("const", b" * u)")],
+    2: [("const", b"QuadExtField(QuadExtField("), ("digits", 0),
+        ("const", b" + "), ("digits", 1), ("const", b" * u) + QuadExtField("),
+        ("digits", 2), ("const", b" + "), ("digits", 3), ("const", b" * u) * u)")],
+}
+
+
+def _group_segments(fmt: int, leafs_per_node: int):
+    """Expanded segment list for one whole leaf group."""
+    segs = []
+    for e in range(leafs_per_node):
+        for kind, v in _FMT_SEGMENTS[fmt]:
+            segs.append((kind, v, e))
+    return segs
+
+
+def _max_group_bytes(fmt: int, leafs_per_node: int) -> int:
+    const_len = sum(len(v) for kind, v, _ in _group_segments(fmt, leafs_per_node)
+                    if kind == "const")
+    n_digit_segs = sum(1 for kind, _, _ in _group_segments(fmt, leafs_per_node)
+                       if kind == "digits")
+    return const_len + n_digit_segs * MAX_DIGITS
+
+
+def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int):
+    """comps_u32: (n_elems, comps, 2) uint32 [lo, hi] component words.
+    Returns (n_groups, 8) uint32 digests (big-endian words)."""
+    comps = {0: 1, 1: 2, 2: 4}[fmt]
+    n_elems = comps_u32.shape[0]
+    assert n_elems % leafs_per_node == 0
+    n_groups = n_elems // leafs_per_node
+    k = leafs_per_node
+
+    # digits per (group, elem-in-group, comp)
+    lo = comps_u32[..., 0].reshape(n_groups, k, comps)
+    hi = comps_u32[..., 1].reshape(n_groups, k, comps)
+    dig, dlen = u64_digits(lo, hi)          # (g, k, comps, 20), (g, k, comps)
+
+    segs = _group_segments(fmt, k)
+    B = _max_group_bytes(fmt, k)
+    nseg = len(segs)
+
+    # per-segment lengths -> (g, nseg)
+    seg_lens = []
+    for kind, v, e in segs:
+        if kind == "const":
+            seg_lens.append(jnp.full((n_groups,), len(v), jnp.int32))
+        else:
+            seg_lens.append(dlen[:, e, v].astype(jnp.int32))
+    seg_len = jnp.stack(seg_lens, axis=1)
+    starts = jnp.cumsum(seg_len, axis=1) - seg_len          # (g, nseg)
+    total_len = jnp.sum(seg_len, axis=1)                    # (g,)
+
+    tpos = jnp.arange(B, dtype=jnp.int32)[None, :]          # (1, B)
+    out = jnp.zeros((n_groups, B), jnp.uint8)
+    for s, (kind, v, e) in enumerate(segs):
+        s0 = starts[:, s : s + 1]                           # (g, 1)
+        ln = seg_len[:, s : s + 1]
+        inseg = (tpos >= s0) & (tpos < s0 + ln)
+        off = tpos - s0                                     # (g, B)
+        if kind == "const":
+            cb = jnp.asarray(np.frombuffer(v, dtype=np.uint8))
+            idx = jnp.clip(off, 0, len(v) - 1)
+            byte = cb[idx]
+        else:
+            # digit chars MSB-first: digit index = len-1-off (LSB-first store)
+            didx = jnp.clip(ln - 1 - off, 0, MAX_DIGITS - 1)
+            d = jnp.take_along_axis(dig[:, e, v], didx, axis=1)
+            byte = (d + 48).astype(jnp.uint8)
+        out = jnp.where(inseg, byte, out)
+
+    # SHA-256 padding: 0x80 at total_len; 64-bit BE bit length at block end
+    max_blocks = (B + 8) // 64 + 1
+    PB = max_blocks * 64
+    if PB > B:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n_groups, PB - B), jnp.uint8)], axis=1
+        )
+    bpos = jnp.arange(PB, dtype=jnp.int32)[None, :]
+    out = jnp.where(bpos == total_len[:, None], jnp.uint8(0x80), out)
+    last_block = (total_len + 8) // 64                      # (g,)
+    bitlen = (total_len.astype(jnp.uint32) * 8)
+    # bit length fits in 32 bits; bytes PB-4.. of the last active block
+    len_base = last_block * 64 + 56
+    for j in range(8):
+        shift = (7 - j) * 8  # static python int
+        if shift >= 32:
+            continue  # bit length < 2^32; high bytes stay zero
+        val = ((bitlen >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+        out = jnp.where(bpos == (len_base + j)[:, None], val[:, None], out)
+
+    # bytes -> (g, blocks, 16) BE words
+    w = out.reshape(n_groups, max_blocks, 16, 4).astype(jnp.uint32)
+    words = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
+    active = jnp.arange(max_blocks, dtype=jnp.int32)[None, :] <= last_block[:, None]
+    return sha256_blocks(words, active)
+
+
+leaf_hash_device_jit = jax.jit(leaf_hash_device, static_argnums=(1, 2))

@@ -98,6 +98,22 @@ def test_extension_from_base_prime_field():
     assert BABYBEAR_FP4.from_base_coeffs((1, 2, 3, 4)) == ((1, 2), (3, 4))
 
 
+def test_frobenius_coefficients_match_reference_tables():
+    # src/field.rs:54-61: Goldilocks FROBENIUS_COEFF_FP2_C1 = [1, p-1]
+    assert GOLDILOCKS_FP2._frobenius_coeffs == [1, GOLDILOCKS_FP.p - 1]
+    # src/field.rs:84-91: BabyBear Fp2 = [1, p-1]
+    assert BABYBEAR_FP2._frobenius_coeffs == [1, BABYBEAR_FP.p - 1]
+
+
+def test_frobenius_map():
+    E = GOLDILOCKS_FP2
+    a = (123456789, 987654321)
+    # frobenius = x^q must agree with explicit exponentiation
+    assert E.frobenius_map(a, 1) == E.pow(a, GOLDILOCKS_FP.p)
+    assert E.frobenius_map(a, 0) == a
+    assert E.frobenius_map(E.frobenius_map(a, 1), 1) == a
+
+
 def test_fft_root_in_extension_is_base_valued():
     w = GOLDILOCKS_FP2.get_root_of_unity(16)
     assert w[1] == 0

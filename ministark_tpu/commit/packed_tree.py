@@ -14,6 +14,7 @@ Component packing per field (must mirror fields/host.py Display semantics):
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import numpy as np
@@ -44,6 +45,23 @@ def pack_scalars(field, scalars) -> np.ndarray:
     )
 
 
+def to_leaf_comps(field, device_arr):
+    """Packed device array -> (n_elems, comps, 2) u32 [lo, hi] component
+    layout for ops/leaf_hash.py."""
+    import jax.numpy as jnp
+
+    d = field.extension_degree
+    a = device_arr
+    if a.ndim >= 2 and a.shape[-1] == 2 and (d == 1 or a.ndim == 3):
+        # goldilocks: base (n, 2) -> (n, 1, 2); fp2 (n, 2, 2) stays
+        return a[:, None, :] if a.ndim == 2 else a
+    # babybear: base (n,) -> (n, 1); fp4 (n, 4)
+    if a.ndim == 1:
+        a = a[:, None]
+    zero = jnp.zeros_like(a)
+    return jnp.stack([a, zero], axis=-1)
+
+
 def unpack_scalar(field, row: np.ndarray):
     d = field.extension_degree
     if d == 1:
@@ -52,9 +70,15 @@ def unpack_scalar(field, row: np.ndarray):
 
 
 class PackedMerkleTree:
-    """Same commitment as commit/merkle.py MerkleTree, array-native."""
+    """Same commitment as commit/merkle.py MerkleTree, array-native.
 
-    def __init__(self, field, packed_vals: np.ndarray, config: MerkleTreeConfig):
+    Hash backends (identical digests): on-device (JAX SHA-256 kernels, when
+    ``device_vals`` is passed and MINISTARK_DEVICE_HASH=1), native C++
+    (SHA-NI), or pure-python hashlib fallback.
+    """
+
+    def __init__(self, field, packed_vals: np.ndarray, config: MerkleTreeConfig,
+                 device_vals=None):
         n = packed_vals.shape[0]
         k = config.leafs_per_node
         c = config.inner_children
@@ -68,7 +92,26 @@ class PackedMerkleTree:
         self.packed = np.ascontiguousarray(packed_vals, dtype=np.uint64)
         self.fmt = field_fmt(field)
 
-        if native.available():
+        use_device = (
+            device_vals is not None
+            and c == 2
+            and os.environ.get("MINISTARK_DEVICE_HASH") == "1"
+        )
+        if use_device:
+            from ..ops.leaf_hash import leaf_hash_device_jit
+            from ..ops.sha256 import digests_to_bytes, merkle_inner_levels_device
+
+            comps = to_leaf_comps(field, device_vals)
+            leaf_dig = leaf_hash_device_jit(comps, k, self.fmt)
+            if group_num > 1:
+                import jax.numpy as jnp
+
+                upper = merkle_inner_levels_device(leaf_dig, c)
+                all_dig = jnp.concatenate([leaf_dig, upper], axis=0)
+            else:
+                all_dig = leaf_dig
+            self.nodes = digests_to_bytes(all_dig)
+        elif native.available():
             leaf_digests = native.leaf_hash_batch(self.packed, k, self.fmt)
             if group_num > 1:
                 upper = native.inner_levels(leaf_digests, c)

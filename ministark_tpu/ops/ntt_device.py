@@ -159,12 +159,44 @@ def _ntt_fori(ops, x, rev, tw_table, n):
     return jax.lax.fori_loop(1, log_n + 1, stage, x)
 
 
+@partial(jax.jit, static_argnames=("ops",))
+def _fft_impl(x, rev, tw, *, ops):
+    return _ntt_fori(ops, x, rev, tw, x.shape[1])
+
+
+@partial(jax.jit, static_argnames=("ops",))
+def _ifft_impl(x, rev, tw_inv, n_inv, *, ops):
+    y = _ntt_fori(ops, x, rev, tw_inv, x.shape[1])
+    return ops.mul(y, n_inv[None, None])
+
+
+@partial(jax.jit, static_argnames=("ops",))
+def _coset_fft_impl(x, offset, rev, tw, *, ops):
+    pw = _powers(ops, offset, x.shape[1])
+    scaled = ops.mul(x, pw[None])
+    return _ntt_fori(ops, scaled, rev, tw, x.shape[1])
+
+
+@partial(jax.jit, static_argnames=("ops",))
+def _coset_ifft_impl(x, offset_inv, rev, tw_inv, n_inv, *, ops):
+    y = _ntt_fori(ops, x, rev, tw_inv, x.shape[1])
+    y = ops.mul(y, n_inv[None, None])
+    pw = _powers(ops, offset_inv, x.shape[1])
+    return ops.mul(y, pw[None])
+
+
 def make_ntt_fns(field, n: int):
     """Build jitted (fft, ifft, coset_fft, coset_ifft) closures for size n.
 
     All take/return (batch, n[, limbs]) uint32 arrays in natural order.
     The coset variants take the offset as a traced device scalar (it is a
-    Fiat-Shamir challenge). Twiddle/bit-rev tables are static constants.
+    Fiat-Shamir challenge).
+
+    The bit-reversal and twiddle-power tables are passed as runtime ARGUMENTS
+    (device-resident, uploaded once) instead of baked constants: embedded
+    multi-MB constants make the compiled executables enormous, which is
+    brutal when executables travel a slow tunnel (this environment ships
+    AOT blobs at ~10 MB/s).
     """
     ops = _field_ops(field)
     p = field.p
@@ -172,34 +204,23 @@ def make_ntt_fns(field, n: int):
     root_inv = field.inv(root)
     n_inv = field.inv(field.from_int(n))
 
-    rev = jnp.asarray(_bitrev_indices(n))
+    rev = jax.device_put(jnp.asarray(_bitrev_indices(n)))
     half = max(n // 2, 1)
-    tw_fwd = jnp.asarray(ops.pack(list(_root_powers_table(p, root, half))))
-    tw_inv = jnp.asarray(ops.pack(list(_root_powers_table(p, root_inv, half))))
-    n_inv_packed = jnp.asarray(ops.pack([n_inv])[0])
-    powers_for_ops = _powers
+    tw_fwd = jax.device_put(jnp.asarray(ops.pack(list(_root_powers_table(p, root, half)))))
+    tw_inv = jax.device_put(jnp.asarray(ops.pack(list(_root_powers_table(p, root_inv, half)))))
+    n_inv_packed = jax.device_put(jnp.asarray(ops.pack([n_inv])[0]))
 
-    @jax.jit
     def fft(x):
-        return _ntt_fori(ops, x, rev, tw_fwd, n)
+        return _fft_impl(x, rev, tw_fwd, ops=ops)
 
-    @jax.jit
     def ifft(x):
-        y = _ntt_fori(ops, x, rev, tw_inv, n)
-        return ops.mul(y, n_inv_packed[None, None])
+        return _ifft_impl(x, rev, tw_inv, n_inv_packed, ops=ops)
 
-    @jax.jit
     def coset_fft(x, offset):
-        pw = powers_for_ops(ops, offset, n)
-        scaled = ops.mul(x, pw[None])
-        return _ntt_fori(ops, scaled, rev, tw_fwd, n)
+        return _coset_fft_impl(x, offset, rev, tw_fwd, ops=ops)
 
-    @jax.jit
     def coset_ifft(x, offset_inv):
-        y = _ntt_fori(ops, x, rev, tw_inv, n)
-        y = ops.mul(y, n_inv_packed[None, None])
-        pw = powers_for_ops(ops, offset_inv, n)
-        return ops.mul(y, pw[None])
+        return _coset_ifft_impl(x, offset_inv, rev, tw_inv, n_inv_packed, ops=ops)
 
     return fft, ifft, coset_fft, coset_ifft
 

@@ -189,10 +189,14 @@ class DeviceEngine:
 
         self._t("constrain_tree")
         lde_u64 = self._base_to_u64(lde_evals)
+        lde_rows_dev = jnp.moveaxis(lde_evals, 0, 1).reshape(
+            (lde_n * total,) + kb.elem_axes
+        )
         constrain_tree = PackedMerkleTree(
             base,
             np.ascontiguousarray(lde_u64.T).reshape(-1, 1),
             cfg.merkle_config,
+            device_vals=lde_rows_dev,
         )
         constrain_trace_commit = constrain_tree.root()
         merlin.add_bytes(constrain_trace_commit)
@@ -258,7 +262,8 @@ class DeviceEngine:
     def _fri_round_tree(self, codeword) -> PackedMerkleTree:
         ext = self.config.stark_field.extension
         return PackedMerkleTree(
-            ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config
+            ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config,
+            device_vals=codeword,
         )
 
     def _fri_prove(self, merlin: Merlin, poly_coeffs) -> "DeviceFriProof":

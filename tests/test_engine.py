@@ -84,6 +84,29 @@ def test_engine_matches_host_larger_trace(monkeypatch):
     _assert_equal_proofs(host, dev)
 
 
+def test_engine_device_hash_identical(monkeypatch):
+    """MINISTARK_DEVICE_HASH=1 (on-device SHA-256 Merkle) must not change a
+    single proof byte."""
+    import ministark_tpu.stark.engine as eng
+
+    monkeypatch.setattr(eng, "DEVICE_MIN_SIZE", 8)
+    ref = _device_proof(Goldilocks, 61)
+    monkeypatch.setenv("MINISTARK_DEVICE_HASH", "1")
+    dev = _device_proof(Goldilocks, 61)
+    _assert_equal_proofs_device(ref, dev)
+
+
+def _assert_equal_proofs_device(a, b):
+    assert a.arthur == b.arthur
+    assert a.trace_commit == b.trace_commit
+    assert a.constrain_trace_commit == b.constrain_trace_commit
+    fa, fb = a.fri_proof.to_host(), b.fri_proof.to_host()
+    assert fa.points == fb.points
+    for ra, rb in zip(fa.queries, fb.queries):
+        for (a1, a2), (b1, b2) in zip(ra, rb):
+            assert a1.path == b1.path and a2.path == b2.path
+
+
 def test_engine_device_verify(monkeypatch):
     import jax.numpy as jnp
     import ministark_tpu.stark.engine as eng

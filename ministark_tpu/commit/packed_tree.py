@@ -1,12 +1,21 @@
-"""Array-resident Merkle tree for large codewords (native hashing engine).
+"""Array-resident Merkle tree for large codewords.
 
 Produces digests identical to commit/merkle.py (same decimal-Display leaf
 preimages, same level-by-level build, same first-occurrence value lookup) but
-stores leaf values as packed numpy uint64 component arrays and all nodes as a
-single (total, 32) uint8 array — no per-element Python objects. Used by the
-array-native prover engine (stark/engine.py) for 2^20-row traces.
+stores leaf values as packed component arrays and all nodes as one digest
+array — no per-element Python objects.
 
-Component packing per field (must mirror fields/host.py Display semantics):
+Hash backends (identical digests):
+  * device  — JAX SHA-256 kernels (ops/leaf_hash.py); the codeword never
+              leaves HBM: root/paths/neighbours are pulled individually
+              (crucial when host<->device transfers ride a slow tunnel);
+  * native  — C++ SHA-NI engine over host arrays (commit/native.py);
+  * python  — hashlib fallback.
+
+Selection: device when ``device_vals`` is given, fan-in 2, and
+MINISTARK_DEVICE_HASH=1; else native; else python.
+
+Component packing per field (mirrors fields/host.py Display semantics):
   base fields      -> (n, 1) canonical u64          (fmt 0)
   quadratic ext    -> (n, 2) [c0, c1]               (fmt 1)
   BabyBear Fp4     -> (n, 4) [c00, c01, c10, c11]   (fmt 2)
@@ -15,7 +24,8 @@ Component packing per field (must mirror fields/host.py Display semantics):
 from __future__ import annotations
 
 import os
-from typing import List
+from functools import partial
+from typing import List, Optional
 
 import numpy as np
 
@@ -62,6 +72,12 @@ def to_leaf_comps(field, device_arr):
     return jnp.stack([a, zero], axis=-1)
 
 
+def comps_np_to_u64(comps_np: np.ndarray) -> np.ndarray:
+    """(n, comps, 2) u32 [lo, hi] host array -> (n, comps) u64."""
+    a = np.asarray(comps_np)
+    return a[..., 0].astype(np.uint64) | (a[..., 1].astype(np.uint64) << 32)
+
+
 def unpack_scalar(field, row: np.ndarray):
     d = field.extension_degree
     if d == 1:
@@ -69,81 +85,162 @@ def unpack_scalar(field, row: np.ndarray):
     return field.from_base_coeffs(tuple(int(x) for x in row))
 
 
+def _first_match_device(comps, value_row):
+    """First index where (n, comps, 2) == (comps, 2), or n if absent."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def find(comps, value_row):
+        hits = jnp.all(
+            comps.reshape(comps.shape[0], -1) == value_row.reshape(1, -1), axis=1
+        )
+        n = comps.shape[0]
+        idx = jnp.arange(n)
+        return jnp.min(jnp.where(hits, idx, n))
+
+    return int(find(comps, value_row))
+
+
 class PackedMerkleTree:
-    """Same commitment as commit/merkle.py MerkleTree, array-native.
+    """Same commitment as commit/merkle.py MerkleTree, array-native."""
 
-    Hash backends (identical digests): on-device (JAX SHA-256 kernels, when
-    ``device_vals`` is passed and MINISTARK_DEVICE_HASH=1), native C++
-    (SHA-NI), or pure-python hashlib fallback.
-    """
-
-    def __init__(self, field, packed_vals: np.ndarray, config: MerkleTreeConfig,
-                 device_vals=None):
-        n = packed_vals.shape[0]
-        k = config.leafs_per_node
-        c = config.inner_children
-        assert n % k == 0
-        group_num = n // k
-        self.levels = logarithm_of_two_k(group_num, c) + 1
-        assert c ** (self.levels - 1) == group_num
-
+    def __init__(self, field, packed_vals: Optional[np.ndarray],
+                 config: MerkleTreeConfig, device_vals=None):
         self.field = field
         self.config = config
-        self.packed = np.ascontiguousarray(packed_vals, dtype=np.uint64)
         self.fmt = field_fmt(field)
+        self._dev_comps = None
+        self._dev_digests = None
+        self._packed = None
+        self._nodes = None
+        self._root = None
+
+        k = config.leafs_per_node
+        c = config.inner_children
 
         use_device = (
             device_vals is not None
             and c == 2
             and os.environ.get("MINISTARK_DEVICE_HASH") == "1"
         )
-        if use_device:
-            from ..ops.leaf_hash import leaf_hash_device_jit
-            from ..ops.sha256 import digests_to_bytes, merkle_inner_levels_device
 
+        if use_device:
             comps = to_leaf_comps(field, device_vals)
+            n = comps.shape[0]
+        else:
+            assert packed_vals is not None, "need host values without device hashing"
+            self._packed = np.ascontiguousarray(packed_vals, dtype=np.uint64)
+            n = self._packed.shape[0]
+
+        assert n % k == 0
+        group_num = n // k
+        self.n_leafs = n
+        self.levels = logarithm_of_two_k(group_num, c) + 1
+        assert c ** (self.levels - 1) == group_num
+
+        if use_device:
+            import jax.numpy as jnp
+
+            from ..ops.leaf_hash import leaf_hash_device_jit
+            from ..ops.sha256 import merkle_inner_levels_device
+
+            self._dev_comps = comps
             leaf_dig = leaf_hash_device_jit(comps, k, self.fmt)
             if group_num > 1:
-                import jax.numpy as jnp
-
                 upper = merkle_inner_levels_device(leaf_dig, c)
-                all_dig = jnp.concatenate([leaf_dig, upper], axis=0)
+                self._dev_digests = jnp.concatenate([leaf_dig, upper], axis=0)
             else:
-                all_dig = leaf_dig
-            self.nodes = digests_to_bytes(all_dig)
+                self._dev_digests = leaf_dig
         elif native.available():
-            leaf_digests = native.leaf_hash_batch(self.packed, k, self.fmt)
+            leaf_digests = native.leaf_hash_batch(self._packed, k, self.fmt)
             if group_num > 1:
                 upper = native.inner_levels(leaf_digests, c)
-                self.nodes = np.concatenate([leaf_digests, upper], axis=0)
+                self._nodes = np.concatenate([leaf_digests, upper], axis=0)
             else:
-                self.nodes = leaf_digests
+                self._nodes = leaf_digests
         else:  # pure-python fallback (slow; correctness path)
-            scalars = [unpack_scalar(field, self.packed[i]) for i in range(n)]
+            scalars = [unpack_scalar(field, self._packed[i]) for i in range(n)]
             host = MerkleTree(field, scalars, config)
-            self.nodes = np.frombuffer(
+            self._nodes = np.frombuffer(
                 b"".join(host.nodes), dtype=np.uint8
             ).reshape(-1, 32).copy()
 
-        self._value_index = None  # built lazily for proof generation
+    # ------------------------------------------------------ lazy host views
+    @property
+    def packed(self) -> np.ndarray:
+        if self._packed is None:
+            self._packed = comps_np_to_u64(np.asarray(self._dev_comps))
+        return self._packed
+
+    @property
+    def nodes(self) -> np.ndarray:
+        if self._nodes is None:
+            from ..ops.sha256 import digests_to_bytes
+
+            self._nodes = digests_to_bytes(self._dev_digests)
+        return self._nodes
 
     @classmethod
     def from_scalars(cls, field, scalars, config) -> "PackedMerkleTree":
         return cls(field, pack_scalars(field, scalars), config)
 
     def root(self) -> bytes:
-        return self.nodes[-1].tobytes()
+        if self._root is None:
+            if self._nodes is not None:
+                self._root = self._nodes[-1].tobytes()
+            else:
+                from ..ops.sha256 import digests_to_bytes
+
+                self._root = digests_to_bytes(
+                    np.asarray(self._dev_digests[-1:])
+                )[0].tobytes()
+        return self._root
 
     def get_node_number(self) -> int:
-        return self.packed.shape[0] + self.nodes.shape[0]
+        n_nodes = (
+            self._nodes.shape[0] if self._nodes is not None
+            else self._dev_digests.shape[0]
+        )
+        return self.n_leafs + n_nodes
 
     # --- proofs (value lookup, first occurrence — §8.6) ---
     def _leaf_index(self, packed_value: np.ndarray) -> int:
-        hits = np.all(self.packed == packed_value[None, :], axis=1)
-        idx = int(np.argmax(hits))
-        if not hits[idx]:
+        if self._packed is not None:
+            hits = np.all(self._packed == packed_value[None, :], axis=1)
+            idx = int(np.argmax(hits))
+            if not hits[idx]:
+                raise LeafNotFound()
+            return idx
+        # device search without pulling the codeword
+        import jax.numpy as jnp
+
+        lo = (packed_value & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (packed_value >> np.uint64(32)).astype(np.uint32)
+        row = jnp.asarray(np.stack([lo, hi], axis=-1))
+        idx = _first_match_device(self._dev_comps, row)
+        if idx >= self.n_leafs:
             raise LeafNotFound()
         return idx
+
+    def _node_bytes(self, indices: List[int]) -> List[bytes]:
+        """Fetch specific node digests (by flat node index)."""
+        if self._nodes is not None:
+            return [self._nodes[i].tobytes() for i in indices]
+        from ..ops.sha256 import digests_to_bytes
+
+        rows = np.asarray(self._dev_digests[np.asarray(indices, dtype=np.int64)])
+        b = digests_to_bytes(rows)
+        return [b[i].tobytes() for i in range(len(indices))]
+
+    def _leaf_rows(self, start: int, count: int) -> List:
+        if self._packed is not None:
+            return [
+                unpack_scalar(self.field, self._packed[j])
+                for j in range(start, start + count)
+            ]
+        rows = comps_np_to_u64(np.asarray(self._dev_comps[start : start + count]))
+        return [unpack_scalar(self.field, rows[j]) for j in range(count)]
 
     def _parent_idx(self, index: int) -> int:
         """Reference virtual-index parent arithmetic (src/merkle.rs:188-207).
@@ -151,30 +248,32 @@ class PackedMerkleTree:
         inner_children == 2 — for wider fan-ins the reference (and hence this
         replica) walks 'wrong' sibling groups; FRI ignores check_proof results
         (§8.5) and the STARK always uses fan-in 2, so parity wins here."""
-        n_leafs = self.packed.shape[0]
-        if index < n_leafs:
-            return n_leafs + index // self.config.leafs_per_node
+        if index < self.n_leafs:
+            return self.n_leafs + index // self.config.leafs_per_node
         return index + (self.get_node_number() - index + 1) // self.config.inner_children
 
     def generate_proof_packed(self, packed_value: np.ndarray) -> MerklePath:
         i = self._leaf_index(np.asarray(packed_value, dtype=np.uint64))
         k = self.config.leafs_per_node
         c = self.config.inner_children
-        n_leafs = self.packed.shape[0]
-        start = i - i % k
-        leaf_neighbours = [
-            unpack_scalar(self.field, self.packed[j]) for j in range(start, start + k)
-        ]
-        path: List[List[bytes]] = []
+        leaf_neighbours = self._leaf_rows(i - i % k, k)
+        n_nodes = self.get_node_number() - self.n_leafs
+        # collect all sibling-group node indices first, fetch in one batch
+        groups: List[List[int]] = []
         current = self._parent_idx(i)
         for _ in range(1, self.levels):
-            shifted = current - n_leafs
+            shifted = current - self.n_leafs
             s = shifted - shifted % c
-            # slice (not index) so fan-ins > 2 truncate exactly like the host
-            # tree; the reference would panic here and never exercises this
-            level = self.nodes[s : s + c]
-            path.append([level[t].tobytes() for t in range(level.shape[0])])
+            # slice semantics (truncate) for fan-ins > 2, like the host tree
+            groups.append(list(range(s, min(s + c, n_nodes))))
             current = self._parent_idx(current)
+        flat = [g for grp in groups for g in grp]
+        fetched = self._node_bytes(flat)
+        path: List[List[bytes]] = []
+        pos = 0
+        for grp in groups:
+            path.append(fetched[pos : pos + len(grp)])
+            pos += len(grp)
         return MerklePath(leaf_neighbours=leaf_neighbours, path=path)
 
     def generate_proof(self, leaf) -> MerklePath:

@@ -96,6 +96,24 @@ def _effective_len(packed: np.ndarray, elem_ndim: int) -> int:
     return 0 if idx.size == 0 else int(idx[-1]) + 1
 
 
+def _efflen_device(ke, arr):
+    """Effective (trailing-zero-trimmed) length computed on device; only a
+    scalar crosses the host boundary."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    @partial(_jax.jit, static_argnums=0)
+    def _f(ke, arr):
+        flat = arr.reshape(arr.shape[0], -1)
+        nz = _jnp.any(flat != 0, axis=1)
+        idx = _jnp.arange(arr.shape[0])
+        return _jnp.max(_jnp.where(nz, idx + 1, 0))
+
+    if arr.shape[0] == 0:
+        return 0
+    return int(_f(ke, arr))
+
+
 class DeviceEngine:
     def __init__(self, config: StarkConfig):
         self.config = config
@@ -188,15 +206,16 @@ class DeviceEngine:
         lde_evals = coset_fft(padded, shift_packed)                # (w+t, 2n, *e)
 
         self._t("constrain_tree")
-        lde_u64 = self._base_to_u64(lde_evals)
         lde_rows_dev = jnp.moveaxis(lde_evals, 0, 1).reshape(
             (lde_n * total,) + kb.elem_axes
         )
+        if self._device_hash_on():
+            lde_host = None
+        else:
+            lde_u64 = self._base_to_u64(lde_evals)
+            lde_host = np.ascontiguousarray(lde_u64.T).reshape(-1, 1)
         constrain_tree = PackedMerkleTree(
-            base,
-            np.ascontiguousarray(lde_u64.T).reshape(-1, 1),
-            cfg.merkle_config,
-            device_vals=lde_rows_dev,
+            base, lde_host, cfg.merkle_config, device_vals=lde_rows_dev
         )
         constrain_trace_commit = constrain_tree.root()
         merlin.add_bytes(constrain_trace_commit)
@@ -259,10 +278,17 @@ class DeviceEngine:
         ev = fft(comp)
         return jnp.moveaxis(ev, 0, 1)     # (N, *ext_elem)
 
+    @staticmethod
+    def _device_hash_on() -> bool:
+        import os
+
+        return os.environ.get("MINISTARK_DEVICE_HASH") == "1"
+
     def _fri_round_tree(self, codeword) -> PackedMerkleTree:
         ext = self.config.stark_field.extension
+        host_vals = None if self._device_hash_on() else self._ext_to_u64(codeword)
         return PackedMerkleTree(
-            ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config,
+            ext, host_vals, self.config.fri_config.merkle_config,
             device_vals=codeword,
         )
 
@@ -274,7 +300,7 @@ class DeviceEngine:
         ext = sf.extension
         ke = self.ke
 
-        eff = _effective_len(poly_coeffs, len(ke.elem_axes))
+        eff = _efflen_device(ke, poly_coeffs)
         degree = max(eff - 1, 0)
         size = (degree + 1) * cfg.blowup_factor
 
@@ -309,18 +335,23 @@ class DeviceEngine:
             prev_gen = ext.get_root_of_unity(prev.size)
             next_gen = ext.get_root_of_unity(nxt.size)
 
+            # one batched fetch of all codeword entries this round needs
+            red_betas = [b % prev.size if b > prev.size else b for b in betas]
+            prev_reads = prev.cw_read_many(
+                [b % prev.size for b in red_betas]
+                + [(nxt.size + b) % prev.size for b in red_betas]
+            )
+            next_reads = nxt.cw_read_many([b % nxt.size for b in red_betas])
+
             round_points, round_queries, round_quotients = [], [], []
-            for query in betas:
-                beta = query
-                if beta > prev.size:     # `>` quirk §8.4
-                    beta %= prev.size
+            for qi, beta in enumerate(red_betas):
                 x1 = ext.pow(prev_gen, beta)
                 x2 = ext.pow(prev_gen, nxt.size + beta)
                 x3 = ext.pow(next_gen, beta)
                 # codeword entries ARE the reference's direct evaluations
-                y1 = prev.cw_read(beta % prev.size)
-                y2 = prev.cw_read((nxt.size + beta) % prev.size)
-                y3 = nxt.cw_read(beta % nxt.size)
+                y1 = prev_reads[qi]
+                y2 = prev_reads[len(red_betas) + qi]
+                y3 = next_reads[qi]
                 round_points.append([(x1, y1), (x2, y2), (x3, y3)])
 
                 a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
@@ -347,9 +378,8 @@ class DeviceEngine:
         use_device = size >= DEVICE_MIN_SIZE and not isinstance(coeffs, list)
         if isinstance(coeffs, list) or not use_device:
             if not isinstance(coeffs, list):
-                host = self.ke.unpack(np.asarray(coeffs))
-                eff = _effective_len(np.asarray(coeffs), len(self.ke.elem_axes))
-                coeffs = host[:eff]
+                eff = _efflen_device(self.ke, coeffs)
+                coeffs = self.ke.unpack(np.asarray(coeffs[:eff]))
             domain = Radix2EvaluationDomain(ext, size)
             codeword = domain.fft(coeffs)
             tree = PackedMerkleTree.from_scalars(
@@ -361,9 +391,10 @@ class DeviceEngine:
             )
         codeword = self._ext_fft(coeffs[: min(size, coeffs.shape[0])], size)
         tree = self._fri_round_tree(codeword)
+        cw = codeword if self._device_hash_on() else np.asarray(codeword)
         return _FriRoundRepr(
             device=True, ext=ext, ke=self.ke, coeffs=coeffs,
-            codeword=np.asarray(codeword), tree=tree, size=size,
+            codeword=cw, tree=tree, size=size,
         )
 
     def _deep_evals(self, rnd: "_FriRoundRepr", z):
@@ -394,13 +425,12 @@ class DeviceEngine:
             rp = _fold_div_jit(ke, rnd.coeffs, zp, ap, dv, zinv)
             # hand off to host representation when the next round is small
             if rnd.size // 2 < DEVICE_MIN_SIZE:
-                rp_np = np.asarray(rp)
-                eff = _effective_len(rp_np, len(ke.elem_axes))
-                return ke.unpack(rp_np[:eff])
+                eff = _efflen_device(ke, rp)
+                return ke.unpack(np.asarray(rp[:eff]))
             return rp
         if rnd.device:
-            eff = _effective_len(np.asarray(rnd.coeffs), len(ke.elem_axes))
-            poly = DensePolynomial(ext, ke.unpack(np.asarray(rnd.coeffs)[:eff]))
+            eff = _efflen_device(ke, rnd.coeffs)
+            poly = DensePolynomial(ext, ke.unpack(np.asarray(rnd.coeffs[:eff])))
         else:
             poly = DensePolynomial(ext, rnd.coeffs)
         parts = HostFriRound.split_poly(ext, poly, 2)
@@ -426,8 +456,8 @@ class DeviceEngine:
             x1inv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(x1), n0 - 1)))
             x2inv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(x2), n0 - 1)))
             q2 = _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv, x2inv)
-            q2 = np.asarray(q2)
-            return q2[: _effective_len(q2, len(ke.elem_axes))]
+            eff = _efflen_device(ke, q2)
+            return np.asarray(q2[:eff])
         poly = DensePolynomial(ext, prev.coeffs)
         g = DensePolynomial(ext, [b, a])
         vanishing = (
@@ -538,9 +568,13 @@ class _FriRoundRepr:
     size: int
 
     def cw_read(self, idx: int):
+        return self.cw_read_many([idx])[0]
+
+    def cw_read_many(self, idxs):
         if self.device:
-            return self.ke.unpack(self.codeword[idx : idx + 1])[0]
-        return self.codeword[idx]
+            rows = np.asarray(self.codeword[np.asarray(idxs, dtype=np.int64)])
+            return self.ke.unpack(rows)
+        return [self.codeword[i] for i in idxs]
 
 
 # --------------------------------------------------------------- jitted ops

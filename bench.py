@@ -31,16 +31,24 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
+def _field():
+    from ministark_tpu.fields import BabyBear, Goldilocks
+
+    return {"goldilocks": Goldilocks, "babybear": BabyBear}[
+        os.environ.get("BENCH_FIELD", "goldilocks")
+    ]
+
+
 def device_prove(steps):
     import jax.numpy as jnp
 
-    from ministark_tpu.fields import Goldilocks
     from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
     from ministark_tpu.stark import StarkConfig
     from ministark_tpu.stark.engine import DeviceEngine
 
-    dtrace = fibonacci_device_trace(Goldilocks, steps)
-    cfg = StarkConfig(Goldilocks, 20, 2, steps, dtrace.constrain_number())
+    sf = _field()
+    dtrace = fibonacci_device_trace(sf, steps)
+    cfg = StarkConfig(sf, 20, 2, steps, dtrace.constrain_number())
     engine = DeviceEngine(cfg)
 
     t0 = time.time()
@@ -59,18 +67,18 @@ def device_prove(steps):
 
 
 def host_prove(steps):
-    from ministark_tpu.fields import Goldilocks
     from ministark_tpu.models import FibonacciClaim, Witness
     from ministark_tpu.ops import set_device_enabled
     from ministark_tpu.stark import Stark, StarkConfig
 
+    sf = _field()
     set_device_enabled(False)
     try:
-        base = Goldilocks.base
+        base = sf.base
         claim = FibonacciClaim(field=base, step=steps, output=base.from_int(13))
         witness = Witness(secret_b=base.from_int(2))
         trace = claim.trace(witness)
-        cfg = StarkConfig(Goldilocks, 20, 2, steps, trace.constrain_number())
+        cfg = StarkConfig(sf, 20, 2, steps, trace.constrain_number())
         stark = Stark(cfg)
         t0 = time.time()
         stark.prove(claim, witness)
@@ -102,7 +110,7 @@ def main():
     vs_baseline = t_host_extrapolated / t_prove
 
     print(json.dumps({
-        "metric": f"e2e_prove_rows_per_s_fib{steps}_goldilocks",
+        "metric": f"e2e_prove_rows_per_s_fib{steps}_" + os.environ.get("BENCH_FIELD", "goldilocks"),
         "value": round(rows_per_s, 1),
         "unit": "rows/s",
         "vs_baseline": round(vs_baseline, 2),

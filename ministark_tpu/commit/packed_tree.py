@@ -24,7 +24,6 @@ Component packing per field (mirrors fields/host.py Display semantics):
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import List, Optional
 
 import numpy as np

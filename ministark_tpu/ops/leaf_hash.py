@@ -23,8 +23,6 @@ Digest-equal to the native C++ engine and hashlib (tests/test_leaf_hash.py).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

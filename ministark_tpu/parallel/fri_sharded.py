@@ -15,15 +15,12 @@ Bit-exact with the single-device kernels (tests/test_sharded.py).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.poly_device import powers, suffix_sums, fold_even_odd
+from ..ops.poly_device import fold_even_odd, powers
 from ..ops.registry import FieldKernels, get_kernels
 
 

@@ -22,17 +22,14 @@ sqrt(N)) rounded to a multiple of D.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import bb as bb_ops
 from ..ops import gl as gl_ops
-from ..ops.ntt_device import _field_ops, _pack_twiddles, _bitrev_indices, _stage_twiddles
+from ..ops.ntt_device import _field_ops, _pack_twiddles, _bitrev_indices
 
 
 def _split_sizes(n: int, n_dev: int):

@@ -11,12 +11,10 @@ phases, which is a protocol-inherent sequencing (SURVEY §7).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..ops.ntt_device import get_ntt_fns, _field_ops
+from ..ops.ntt_device import get_ntt_fns
 from ..ops.poly_device import fold_even_odd, mix_columns
 from ..ops.registry import get_kernels
 
@@ -49,8 +47,6 @@ def make_prove_core(stark_field, n: int):
         return lde, mixed, folded
 
     def example_args():
-        import numpy as np
-
         from ..models.fibonacci_device import fibonacci_device_trace
         from ..poly import Radix2EvaluationDomain
 

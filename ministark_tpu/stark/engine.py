@@ -28,19 +28,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..commit.merkle import MerkleTreeConfig
 from ..commit.packed_tree import PackedMerkleTree
 from ..fri.fri import FriProof, FriRound as HostFriRound
 from ..ops.ntt_device import get_ntt_fns
 from ..ops.poly_device import (
     eval_even_odd,
-    eval_poly,
     field_sum,
     fold_even_odd,
     mix_columns_jit,
@@ -285,11 +283,15 @@ class DeviceEngine:
         return os.environ.get("MINISTARK_DEVICE_HASH") == "1"
 
     def _fri_round_tree(self, codeword) -> PackedMerkleTree:
+        # FRI round trees always use the native host engine: their codewords
+        # get pulled for query reads/proofs anyway, and the device path would
+        # compile ~log(n) fresh level shapes per round (each compile is
+        # expensive through the remote-compile tunnel). Device hashing is
+        # reserved for the commit-only constraint tree (one shape set, no
+        # proofs, codeword never pulled).
         ext = self.config.stark_field.extension
-        host_vals = None if self._device_hash_on() else self._ext_to_u64(codeword)
         return PackedMerkleTree(
-            ext, host_vals, self.config.fri_config.merkle_config,
-            device_vals=codeword,
+            ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config
         )
 
     def _fri_prove(self, merlin: Merlin, poly_coeffs) -> "DeviceFriProof":
@@ -391,10 +393,9 @@ class DeviceEngine:
             )
         codeword = self._ext_fft(coeffs[: min(size, coeffs.shape[0])], size)
         tree = self._fri_round_tree(codeword)
-        cw = codeword if self._device_hash_on() else np.asarray(codeword)
         return _FriRoundRepr(
             device=True, ext=ext, ke=self.ke, coeffs=coeffs,
-            codeword=cw, tree=tree, size=size,
+            codeword=np.asarray(codeword), tree=tree, size=size,
         )
 
     def _deep_evals(self, rnd: "_FriRoundRepr", z):

@@ -12,8 +12,6 @@ compressed little-endian hex used by the transcript layer, digests as hex.
 from __future__ import annotations
 
 import json
-from typing import List
-
 from ..commit.merkle import MerklePath
 from ..fri.fri import FriProof
 from .stark import StarkProof

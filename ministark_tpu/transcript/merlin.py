@@ -19,7 +19,7 @@ Field encodings (nimue ark plugin):
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 from ..utils import TranscriptError
 from .iopattern import IOPattern, bytes_uniform_modp

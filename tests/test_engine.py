@@ -73,6 +73,16 @@ def test_engine_matches_host_babybear():
     _assert_equal_proofs(host, dev)
 
 
+def test_engine_matches_host_babybear_device_path(monkeypatch):
+    import ministark_tpu.stark.engine as eng
+
+    monkeypatch.setattr(eng, "DEVICE_MIN_SIZE", 8)
+    sf = BabyBear
+    _, _, host = _host_proof(sf, 45)
+    dev = _device_proof(sf, 45)
+    _assert_equal_proofs(host, dev)
+
+
 def test_engine_matches_host_larger_trace(monkeypatch):
     """Crosses the device->host FRI tail boundary (DEVICE_MIN_SIZE=32)."""
     import ministark_tpu.stark.engine as eng

@@ -1,0 +1,97 @@
+"""Kernel-level benchmarks: field-op and NTT throughput vs roofline.
+
+Measures steady-state device throughput for the hot kernels (BASELINE.md:
+"LDE-NTT and FRI folding >= 80% of per-chip roofline") and prints one JSON
+line per kernel. Roofline model: these kernels are HBM-bandwidth-bound —
+bytes moved per transform / measured time vs the chip's peak bandwidth
+(TPU v5e ~819 GB/s).
+
+Run on TPU (default backend) or CPU (JAX_PLATFORMS=cpu) — absolute numbers
+only mean something on the TPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))
+
+
+def _time(fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    from ministark_tpu.fields import GOLDILOCKS_FP, GOLDILOCKS_FP2
+    from ministark_tpu.ops import gl
+    from ministark_tpu.ops.ntt_device import get_ntt_fns
+    from ministark_tpu.ops.poly_device import fold_even_odd
+    from ministark_tpu.ops.registry import get_kernels
+
+    results = []
+    rng = np.random.default_rng(0)
+
+    # --- Goldilocks elementwise multiply (VPU) ---
+    n = 1 << 22
+    a = jnp.asarray(gl.pack(rng.integers(0, 1 << 62, size=n, dtype=np.uint64)))
+    mul = jax.jit(gl.mul)
+    t = _time(mul, a, a)
+    results.append({
+        "metric": "gl_mul_throughput", "value": round(n / t / 1e9, 2),
+        "unit": "Gop/s", "roofline_frac": round((3 * n * 8 / t) / (HBM_GBPS * 1e9), 3),
+    })
+
+    # --- LDE-NTT (the headline kernel) ---
+    for logn in (20, 21):
+        m = 1 << logn
+        batch = 2
+        x = jnp.asarray(gl.pack(rng.integers(0, 1 << 62, size=(batch, m), dtype=np.uint64)))
+        fft, _, _, _ = get_ntt_fns(GOLDILOCKS_FP, m)
+        t = _time(fft, x)
+        stages = logn
+        bytes_moved = batch * m * 8 * 2 * stages  # read+write per stage
+        results.append({
+            "metric": f"gl_ntt_2^{logn}_batch{batch}", "value": round(t * 1e3, 2),
+            "unit": "ms", "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+        })
+
+    # --- FRI fold (ext field) ---
+    ke = get_kernels(GOLDILOCKS_FP2)
+    m = 1 << 21
+    coeffs = jnp.asarray(
+        gl.pack(rng.integers(0, 1 << 62, size=(m, 2), dtype=np.uint64))
+    )
+    alpha = jnp.asarray(ke.pack_scalar((12345, 67890)))
+    fold = jax.jit(fold_even_odd, static_argnums=0)
+    t = _time(lambda c, al: fold(ke, c, al), coeffs, alpha)
+    bytes_moved = m * 16 + (m // 2) * 16
+    results.append({
+        "metric": "fri_fold_2^21_fp2", "value": round(t * 1e3, 2),
+        "unit": "ms", "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+    })
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,16 +121,18 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int):
         ln = seg_len[:, s : s + 1]
         inseg = (tpos >= s0) & (tpos < s0 + ln)
         off = tpos - s0                                     # (g, B)
+        # NOTE: one-hot broadcast-compare selection, NOT take_along_axis —
+        # per-row gathers on the minor axis are pathologically slow on TPU
+        # (~200x for this kernel).
         if kind == "const":
-            cb = jnp.asarray(np.frombuffer(v, dtype=np.uint8))
-            idx = jnp.clip(off, 0, len(v) - 1)
-            byte = cb[idx]
+            for i, byte_val in enumerate(v):
+                out = jnp.where(inseg & (off == i), jnp.uint8(byte_val), out)
         else:
             # digit chars MSB-first: digit index = len-1-off (LSB-first store)
-            didx = jnp.clip(ln - 1 - off, 0, MAX_DIGITS - 1)
-            d = jnp.take_along_axis(dig[:, e, v], didx, axis=1)
-            byte = (d + 48).astype(jnp.uint8)
-        out = jnp.where(inseg, byte, out)
+            didx = ln - 1 - off                             # (g, B)
+            for j in range(MAX_DIGITS):
+                d_j = dig[:, e, v, j].astype(jnp.uint8) + jnp.uint8(48)
+                out = jnp.where(inseg & (didx == j), d_j[:, None], out)
 
     # SHA-256 padding: 0x80 at total_len; 64-bit BE bit length at block end
     max_blocks = (B + 8) // 64 + 1

@@ -55,6 +55,11 @@ from .stark import StarkConfig, StarkProof
 # device path everywhere.
 DEVICE_MIN_SIZE = 1 << 11
 
+# FRI round trees use on-device hashing (no codeword pull) above this size
+# when MINISTARK_DEVICE_HASH=1; below it the native host engine wins (each
+# device shape costs one remote compile, and small pulls are cheap).
+FRI_DEVICE_HASH_MIN = 1 << 17
+
 
 @dataclass
 class DeviceTrace:
@@ -144,14 +149,6 @@ class DeviceEngine:
             (trace.width, n) + self.kb.elem_axes))
         _, ifft, _, _ = get_ntt_fns(base, n)
         return ifft(x)
-
-    def _commit_matrix(self, evals_cols: np.ndarray, n_rows: int):
-        """Row-major flatten of (cols, rows) evaluations -> packed tree."""
-        base = self.config.stark_field.base
-        # (w, n) -> (n, w) -> flat row-major, as u64 components
-        u64 = self._base_to_u64(evals_cols)           # (w, n)
-        flat = np.ascontiguousarray(u64.T).reshape(-1, 1)
-        return PackedMerkleTree(base, flat, self.config.merkle_config)
 
     def _base_to_u64(self, packed) -> np.ndarray:
         a = np.asarray(packed)
@@ -283,13 +280,14 @@ class DeviceEngine:
         return os.environ.get("MINISTARK_DEVICE_HASH") == "1"
 
     def _fri_round_tree(self, codeword) -> PackedMerkleTree:
-        # FRI round trees always use the native host engine: their codewords
-        # get pulled for query reads/proofs anyway, and the device path would
-        # compile ~log(n) fresh level shapes per round (each compile is
-        # expensive through the remote-compile tunnel). Device hashing is
-        # reserved for the commit-only constraint tree (one shape set, no
-        # proofs, codeword never pulled).
         ext = self.config.stark_field.extension
+        if self._device_hash_on() and codeword.shape[0] >= FRI_DEVICE_HASH_MIN:
+            # big rounds: hash in HBM; query reads/proof bytes are pulled
+            # individually later (codeword never bulk-transferred)
+            return PackedMerkleTree(
+                ext, None, self.config.fri_config.merkle_config,
+                device_vals=codeword,
+            )
         return PackedMerkleTree(
             ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config
         )
@@ -393,9 +391,14 @@ class DeviceEngine:
             )
         codeword = self._ext_fft(coeffs[: min(size, coeffs.shape[0])], size)
         tree = self._fri_round_tree(codeword)
+        cw = (
+            codeword
+            if (self._device_hash_on() and size >= FRI_DEVICE_HASH_MIN)
+            else np.asarray(codeword)
+        )
         return _FriRoundRepr(
             device=True, ext=ext, ke=self.ke, coeffs=coeffs,
-            codeword=np.asarray(codeword), tree=tree, size=size,
+            codeword=cw, tree=tree, size=size,
         )
 
     def _deep_evals(self, rnd: "_FriRoundRepr", z):

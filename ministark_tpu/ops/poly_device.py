@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .registry import FieldKernels
 
@@ -190,6 +191,51 @@ def eval_even_odd(k: FieldKernels, coeffs, zp):
         odd = jnp.concatenate([odd, pad], axis=0)
     fo = field_sum(k, k.mul(odd, pw), axis=0)
     return fe, fo
+
+
+def prefix_products(k: FieldKernels, arr):
+    """P_i = prod_{j <= i} arr[j] (Hillis-Steele over field mul)."""
+    n = arr.shape[0]
+    if n == 1:
+        return arr
+    log_n = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(t, a):
+        s = jnp.int32(1) << t
+        rolled = jnp.roll(a, s, axis=0)  # rolled[i] = a[i-s]
+        prod = k.mul(a, rolled)
+        return _mask_where(k, idx >= s, prod, a)
+
+    return jax.lax.fori_loop(0, log_n, body, arr)
+
+
+def batch_inverse(k: FieldKernels, arr, total_inv):
+    """Montgomery batch inversion: n inversions for one (host-side) inversion
+    plus O(n log n) multiplies (SURVEY §2.2's ark-ff `batched inversion`
+    line item). ``total_inv`` = packed inverse of prod(arr) computed on host
+    from a single pulled scalar. All inputs must be nonzero.
+
+    inv(a_i) = P_{i-1} * S_{i+1} * total_inv for prefix P and suffix S
+    products (P_{-1} = S_{n} = 1).
+    """
+    n = arr.shape[0]
+    pre = prefix_products(k, arr)                 # P_i incl a_i
+    suf = prefix_products(k, arr[::-1])[::-1]     # S_i = prod_{j>=i}
+    one = jnp.broadcast_to(k.one(), tuple(arr.shape[1:]))
+    p_prev = jnp.concatenate([one[None], pre[:-1]], axis=0)
+    s_next = jnp.concatenate([suf[1:], one[None]], axis=0)
+    ti = jnp.broadcast_to(total_inv, arr.shape)
+    return k.mul(k.mul(p_prev, s_next), ti)
+
+
+def batch_inverse_full(field, k: FieldKernels, arr):
+    """Convenience wrapper: pulls the total product (one element), inverts it
+    on host, and finishes on device."""
+    pre = prefix_products(k, arr)
+    total = k.unpack(np.asarray(pre[-1:]))[0]
+    tinv = jnp.asarray(k.pack_scalar(field.inv(total)))
+    return batch_inverse(k, arr, tinv)
 
 
 # jitted entry points (kernel namespace is a static argument; FieldKernels

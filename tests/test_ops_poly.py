@@ -196,3 +196,19 @@ def test_lift_base_array():
     arr = jnp.asarray(kb4.pack([5, 6]))
     lifted = ke4.unpack(lift_base_array(ke4, arr))
     assert lifted == [((5, 0), (0, 0)), ((6, 0), (0, 0))]
+
+
+def test_batch_inverse():
+    from ministark_tpu.ops.poly_device import batch_inverse_full, prefix_products
+
+    for F in (GOLDILOCKS_FP, GOLDILOCKS_FP2, BABYBEAR_FP):
+        k = get_kernels(F)
+        vals = [v for v in _rand_scalars(F, 17) if not F.is_zero(v)]
+        arr = jnp.asarray(k.pack(vals))
+        pre = k.unpack(prefix_products(k, arr))
+        acc = F.one()
+        for i, v in enumerate(vals):
+            acc = F.mul(acc, v)
+            assert pre[i] == acc
+        inv = k.unpack(batch_inverse_full(F, k, arr))
+        assert inv == [F.inv(v) for v in vals]

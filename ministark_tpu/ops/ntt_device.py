@@ -185,6 +185,106 @@ def _coset_ifft_impl(x, offset_inv, rev, tw_inv, n_inv, *, ops):
     return ops.mul(y, pw[None])
 
 
+# Above this size the four-step factorization wins: two unrolled ~sqrt(n)
+# NTT passes + transposes compile to SMALL executables (tunnel-friendly) and
+# execute in a few contiguous HBM passes, vs the gather-based fori kernel's
+# log2(n) permuted passes.
+FOUR_STEP_MIN = 1 << 13
+
+
+def _twiddle_matrix(ops, root_packed, n1: int, n2: int):
+    """W[i, j] = root^(i*j) on device via j-bit repeated squaring."""
+    a = _powers(ops, root_packed, n1)               # root^i, (n1, *limbs)
+    elem_nd = a.ndim - 1
+    one = jnp.zeros_like(a[0])
+    if elem_nd == 1:
+        one = one.at[0].set(1)
+    else:
+        one = one + 1
+    W = jnp.broadcast_to(one, (n1, n2) + tuple(a.shape[1:]))
+    jidx = jnp.arange(n2)
+    a2 = a
+    for b in range((n2 - 1).bit_length()):
+        mask = ((jidx >> b) & 1) == 1
+        m = mask.reshape((1, n2) + (1,) * elem_nd)
+        W = jnp.where(m, ops.mul(W, a2[:, None]), W)
+        a2 = ops.mul(a2, a2)
+    return W
+
+
+def _four_step_core(ops, x, n1: int, n2: int, rev1, tw1, rev2, tw2, W):
+    """X[k2 + n2*k1] four-step NTT; x: (batch, n[, limbs]) natural order.
+
+    rev2/tw2: tables for the length-n2 pass; rev1/tw1 for length-n1;
+    W: (n1, n2[, limbs]) twiddle matrix root^(n1_idx * k2)."""
+    batch = x.shape[0]
+    elem = x.shape[2:]
+    n = n1 * n2
+    A = jnp.swapaxes(x.reshape((batch, n2, n1) + elem), 1, 2)   # A[b, i1, i2]
+    B = _ntt_core(ops, A.reshape((batch * n1, n2) + elem)[:, rev2], tw2, n2)
+    B = B.reshape((batch, n1, n2) + elem)
+    B = ops.mul(B, W[None])
+    C = jnp.swapaxes(B, 1, 2)                                   # (b, k2, i1)
+    D = _ntt_core(ops, C.reshape((batch * n2, n1) + elem)[:, rev1], tw1, n1)
+    D = D.reshape((batch, n2, n1) + elem)
+    out = jnp.swapaxes(D, 1, 2).reshape((batch, n) + elem)      # X[k2 + n2*k1]
+    return out
+
+
+def _make_four_step_fns(field, n: int):
+    ops = _field_ops(field)
+    p = field.p
+    root = field.get_root_of_unity(n)
+    root_inv = field.inv(root)
+    n_inv = field.inv(field.from_int(n))
+
+    log_n = n.bit_length() - 1
+    n2 = 1 << (log_n // 2)
+    n1 = n // n2
+    root1, root1_inv = field.get_root_of_unity(n1), field.inv(field.get_root_of_unity(n1))
+    root2, root2_inv = field.get_root_of_unity(n2), field.inv(field.get_root_of_unity(n2))
+
+    rev1 = jnp.asarray(_bitrev_indices(n1))
+    rev2 = jnp.asarray(_bitrev_indices(n2))
+    tw1_f = _pack_twiddles(ops, p, root1, n1)
+    tw1_i = _pack_twiddles(ops, p, root1_inv, n1)
+    tw2_f = _pack_twiddles(ops, p, root2, n2)
+    tw2_i = _pack_twiddles(ops, p, root2_inv, n2)
+    n_inv_packed = jax.device_put(jnp.asarray(ops.pack([n_inv])[0]))
+    root_p = jax.device_put(jnp.asarray(ops.pack([root])[0]))
+    root_inv_p = jax.device_put(jnp.asarray(ops.pack([root_inv])[0]))
+
+    tw_gen = jax.jit(
+        lambda rp: _twiddle_matrix(ops, rp, n1, n2), static_argnums=()
+    )
+    W_f = jax.device_put(tw_gen(root_p))
+    W_i = jax.device_put(tw_gen(root_inv_p))
+
+    @jax.jit
+    def fft(x):
+        return _four_step_core(ops, x, n1, n2, rev1, tw1_f, rev2, tw2_f, W_f)
+
+    @jax.jit
+    def ifft(x):
+        y = _four_step_core(ops, x, n1, n2, rev1, tw1_i, rev2, tw2_i, W_i)
+        return ops.mul(y, n_inv_packed[None, None])
+
+    @jax.jit
+    def coset_fft(x, offset):
+        pw = _powers(ops, offset, n)
+        scaled = ops.mul(x, pw[None])
+        return _four_step_core(ops, scaled, n1, n2, rev1, tw1_f, rev2, tw2_f, W_f)
+
+    @jax.jit
+    def coset_ifft(x, offset_inv):
+        y = _four_step_core(ops, x, n1, n2, rev1, tw1_i, rev2, tw2_i, W_i)
+        y = ops.mul(y, n_inv_packed[None, None])
+        pw = _powers(ops, offset_inv, n)
+        return ops.mul(y, pw[None])
+
+    return fft, ifft, coset_fft, coset_ifft
+
+
 def make_ntt_fns(field, n: int):
     """Build jitted (fft, ifft, coset_fft, coset_ifft) closures for size n.
 
@@ -197,7 +297,13 @@ def make_ntt_fns(field, n: int):
     multi-MB constants make the compiled executables enormous, which is
     brutal when executables travel a slow tunnel (this environment ships
     AOT blobs at ~10 MB/s).
+
+    Sizes >= FOUR_STEP_MIN use the four-step factorization (two unrolled
+    ~sqrt(n) passes + transposes): small executables AND contiguous
+    near-roofline memory access.
     """
+    if n >= FOUR_STEP_MIN:
+        return _make_four_step_fns(field, n)
     ops = _field_ops(field)
     p = field.p
     root = field.get_root_of_unity(n)

@@ -104,3 +104,41 @@ def test_extension_codeword_via_component_batch():
     evals = gl.unpack(np.asarray(fft(jnp.asarray(gl.pack(comp)))))
     got = [(evals[0][i], evals[1][i]) for i in range(n)]
     assert got == host_evals
+
+
+def test_four_step_matches_host():
+    """Large sizes route through the four-step factorization — bit-exact."""
+    from ministark_tpu.ops import ntt_device
+
+    F = GOLDILOCKS_FP
+    n = ntt_device.FOUR_STEP_MIN
+    d = Radix2EvaluationDomain(F, n)
+    fft, ifft, coset_fft, coset_ifft = get_ntt_fns(F, n)
+    vals = _rand(F, n)
+    x = jnp.asarray(gl.pack(np.array([vals], dtype=object)))
+    evals = gl.unpack(np.asarray(fft(x)))
+    assert list(evals[0]) == d.fft(vals)
+    back = gl.unpack(np.asarray(ifft(fft(x))))
+    assert list(back[0]) == vals
+
+    shift = 424242
+    dc = Radix2EvaluationDomain(F, n).get_coset(shift)
+    off = jnp.asarray(gl.pack([shift])[0])
+    cev = gl.unpack(np.asarray(coset_fft(x, off)))
+    assert list(cev[0]) == dc.fft(vals)
+    off_inv = jnp.asarray(gl.pack([F.inv(shift)])[0])
+    back = gl.unpack(np.asarray(coset_ifft(coset_fft(x, off), off_inv)))
+    assert list(back[0]) == vals
+
+
+def test_four_step_babybear():
+    from ministark_tpu.ops import ntt_device
+
+    F = BABYBEAR_FP
+    n = ntt_device.FOUR_STEP_MIN
+    d = Radix2EvaluationDomain(F, n)
+    fft, _, _, _ = get_ntt_fns(F, n)
+    vals = _rand(F, n)
+    x = jnp.asarray(bb.pack(np.array([vals], dtype=object)))
+    evals = bb.unpack(np.asarray(fft(x)))
+    assert list(evals[0]) == d.fft(vals)

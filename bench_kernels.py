@@ -31,12 +31,16 @@ HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))
 
 
 def _time(fn, *args, iters=5):
+    """Chained timing: feed each iteration's output back as the first
+    argument so executions serialize (identical async replays overlap and
+    overstate throughput)."""
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
+    cur = args[0]
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        cur = fn(cur, *args[1:]) if len(args) > 1 else fn(cur)
+    jax.block_until_ready(cur)
     return (time.time() - t0) / iters
 
 
@@ -57,7 +61,7 @@ def main():
     t = _time(mul, a, a)
     results.append({
         "metric": "gl_mul_throughput", "value": round(n / t / 1e9, 2),
-        "unit": "Gop/s", "roofline_frac": round((3 * n * 8 / t) / (HBM_GBPS * 1e9), 3),
+        "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
     })
 
     # --- LDE-NTT (the headline kernel) ---
@@ -67,8 +71,9 @@ def main():
         x = jnp.asarray(gl.pack(rng.integers(0, 1 << 62, size=(batch, m), dtype=np.uint64)))
         fft, _, _, _ = get_ntt_fns(GOLDILOCKS_FP, m)
         t = _time(fft, x)
-        stages = logn
-        bytes_moved = batch * m * 8 * 2 * stages  # read+write per stage
+        # four-step: ~8 contiguous HBM passes (2 small-NTT passes + 2
+        # transposes + twiddle, read+write each)
+        bytes_moved = batch * m * 8 * 8
         results.append({
             "metric": f"gl_ntt_2^{logn}_batch{batch}", "value": round(t * 1e3, 2),
             "unit": "ms", "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
@@ -82,7 +87,12 @@ def main():
     )
     alpha = jnp.asarray(ke.pack_scalar((12345, 67890)))
     fold = jax.jit(fold_even_odd, static_argnums=0)
-    t = _time(lambda c, al: fold(ke, c, al), coeffs, alpha)
+
+    def fold_step(al, c):
+        out = fold(ke, c, al)
+        return out[0]  # chain the dependency through alpha (stable shapes)
+
+    t = _time(fold_step, alpha, coeffs)
     bytes_moved = m * 16 + (m // 2) * 16
     results.append({
         "metric": "fri_fold_2^21_fp2", "value": round(t * 1e3, 2),

@@ -18,9 +18,9 @@ import numpy as np
 from .u32 import U32, mul32_wide, mul64_by_32_wide
 
 P = 2013265921
-P32 = jnp.uint32(P)
+P32 = np.uint32(P)
 M_BARRETT = (1 << 62) // P  # 2290649224, fits u32
-MB32 = jnp.uint32(M_BARRETT)
+MB32 = np.uint32(M_BARRETT)
 
 
 def pack(values) -> np.ndarray:
@@ -88,8 +88,8 @@ def zeros(shape):
 # Extension towers
 # ---------------------------------------------------------------------------
 
-NR_FP2 = jnp.uint32(11)
-NR_FP4_C0 = jnp.uint32(2013265910)  # Fp4 NONRESIDUE = Fp2(2013265910, 1)
+NR_FP2 = np.uint32(11)
+NR_FP4_C0 = np.uint32(2013265910)  # Fp4 NONRESIDUE = Fp2(2013265910, 1)
 
 
 def fp2_add(a, b):

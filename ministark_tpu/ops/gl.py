@@ -17,9 +17,9 @@ import numpy as np
 from .u32 import U32, mul32_wide, mul64_wide
 
 P = 18446744069414584321
-P_LO = jnp.uint32(P & 0xFFFFFFFF)          # 0x00000001
-P_HI = jnp.uint32(P >> 32)                  # 0xFFFFFFFF
-EPS = jnp.uint32(0xFFFFFFFF)                # 2^32 - 1 == 2^64 mod p
+P_LO = np.uint32(P & 0xFFFFFFFF)           # 0x00000001
+P_HI = np.uint32(P >> 32)                  # 0xFFFFFFFF
+EPS = np.uint32(0xFFFFFFFF)                # 2^32 - 1 == 2^64 mod p
 
 
 def pack(values) -> np.ndarray:
@@ -73,7 +73,7 @@ def add(a, b):
     hi = hi + c
     c2 = c2 | (hi < c).astype(U32)
     # carry out of 2^64: add 2^32 - 1 (== 2^64 mod p)
-    lo2 = lo + jnp.where(c2.astype(bool), EPS, jnp.uint32(0))
+    lo2 = lo + jnp.where(c2.astype(bool), EPS, np.uint32(0))
     wrap = (lo2 < lo).astype(U32)
     hi = hi + wrap
     lo, hi = _cond_sub_p(lo2, hi)
@@ -89,7 +89,7 @@ def sub(a, b):
     hi2 = hi - bb
     b2 = b2 | ((hi < bb) & (bb > 0)).astype(U32)
     # borrow out of 2^64: subtract 2^32 - 1 (== add p then renormalize)
-    lo2 = lo - jnp.where(b2.astype(bool), EPS, jnp.uint32(0))
+    lo2 = lo - jnp.where(b2.astype(bool), EPS, np.uint32(0))
     wrap = ((lo < EPS) & b2.astype(bool)).astype(U32)
     hi3 = hi2 - wrap
     return jnp.stack([lo2, hi3], axis=-1)
@@ -125,7 +125,7 @@ def _reduce128(x0, x1, x2, x3):
     bb = (x0 < x3).astype(U32)
     hi = x1 - bb
     b2 = (x1 < bb).astype(U32)
-    lo2 = lo - jnp.where(b2.astype(bool), EPS, jnp.uint32(0))
+    lo2 = lo - jnp.where(b2.astype(bool), EPS, np.uint32(0))
     wrap = ((lo < EPS) & b2.astype(bool)).astype(U32)
     hi = hi - wrap
 
@@ -138,7 +138,7 @@ def _reduce128(x0, x1, x2, x3):
     hi2 = hi2 + c
     c2 = c2 | (hi2 < c).astype(U32)
     # carry out of 2^64 -> add EPS
-    lo4 = lo3 + jnp.where(c2.astype(bool), EPS, jnp.uint32(0))
+    lo4 = lo3 + jnp.where(c2.astype(bool), EPS, np.uint32(0))
     wrap = (lo4 < lo3).astype(U32)
     hi2 = hi2 + wrap
 
@@ -179,9 +179,12 @@ NONRESIDUE = 7
 
 
 def _mul_nr(a):
-    """multiply by the nonresidue 7 = 8 - 1."""
-    seven = pack([7])[0]
-    return mul(a, jnp.asarray(seven))
+    """multiply by the nonresidue 7 = 8 - 1 via shift-adds (cheaper than a
+    full modmul, and keeps pallas kernels free of array constants)."""
+    two = add(a, a)
+    four = add(two, two)
+    eight = add(four, four)
+    return sub(eight, a)
 
 
 def ext_add(a, b):

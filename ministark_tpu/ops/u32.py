@@ -10,9 +10,10 @@ Everything here is elementwise (VPU) and shape-polymorphic; ops compose under
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+MASK16 = np.uint32(0xFFFF)
 
 
 def mul32_wide(a, b):

@@ -34,9 +34,12 @@ from ..ops.ntt_device import _field_ops, _pack_twiddles, _bitrev_indices
 
 def _split_sizes(n: int, n_dev: int):
     """Pick N1 (row count, multiple of n_dev) and N2 = n // N1."""
+    assert n_dev > 0 and n_dev & (n_dev - 1) == 0, (
+        f"device count must be a power of two, got {n_dev}"
+    )
     log_n = n.bit_length() - 1
     n1 = 1 << (log_n // 2)
-    while n1 % n_dev != 0:
+    while n1 % n_dev != 0 and n1 <= n:
         n1 *= 2
     assert n1 <= n, f"cannot split size {n} over {n_dev} devices"
     return n1, n // n1

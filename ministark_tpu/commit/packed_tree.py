@@ -84,21 +84,21 @@ def unpack_scalar(field, row: np.ndarray):
     return field.from_base_coeffs(tuple(int(x) for x in row))
 
 
-def _first_match_device(comps, value_row):
-    """First index where (n, comps, 2) == (comps, 2), or n if absent."""
+def _first_match_device_batch(comps, value_rows):
+    """First indices where (n, comps, 2) == each of (q, comps, 2); n if absent."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def find(comps, value_row):
-        hits = jnp.all(
-            comps.reshape(comps.shape[0], -1) == value_row.reshape(1, -1), axis=1
-        )
+    def find(comps, value_rows):
+        flat = comps.reshape(comps.shape[0], -1)
+        v = value_rows.reshape(value_rows.shape[0], -1)
+        hits = jnp.all(flat[None, :, :] == v[:, None, :], axis=2)  # (q, n)
         n = comps.shape[0]
-        idx = jnp.arange(n)
-        return jnp.min(jnp.where(hits, idx, n))
+        idx = jnp.arange(n)[None, :]
+        return jnp.min(jnp.where(hits, idx, n), axis=1)
 
-    return int(find(comps, value_row))
+    return [int(i) for i in np.asarray(find(comps, value_rows))]
 
 
 class PackedMerkleTree:
@@ -204,23 +204,30 @@ class PackedMerkleTree:
         return self.n_leafs + n_nodes
 
     # --- proofs (value lookup, first occurrence — §8.6) ---
-    def _leaf_index(self, packed_value: np.ndarray) -> int:
+    def _leaf_indices(self, packed_values: np.ndarray):
+        """First-occurrence indices for a (q, comps) u64 batch."""
         if self._packed is not None:
-            hits = np.all(self._packed == packed_value[None, :], axis=1)
-            idx = int(np.argmax(hits))
-            if not hits[idx]:
-                raise LeafNotFound()
-            return idx
+            out = []
+            for pv in packed_values:
+                hits = np.all(self._packed == pv[None, :], axis=1)
+                idx = int(np.argmax(hits))
+                if not hits[idx]:
+                    raise LeafNotFound()
+                out.append(idx)
+            return out
         # device search without pulling the codeword
         import jax.numpy as jnp
 
-        lo = (packed_value & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        hi = (packed_value >> np.uint64(32)).astype(np.uint32)
-        row = jnp.asarray(np.stack([lo, hi], axis=-1))
-        idx = _first_match_device(self._dev_comps, row)
-        if idx >= self.n_leafs:
+        lo = (packed_values & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (packed_values >> np.uint64(32)).astype(np.uint32)
+        rows = jnp.asarray(np.stack([lo, hi], axis=-1))
+        idxs = _first_match_device_batch(self._dev_comps, rows)
+        if any(i >= self.n_leafs for i in idxs):
             raise LeafNotFound()
-        return idx
+        return idxs
+
+    def _leaf_index(self, packed_value: np.ndarray) -> int:
+        return self._leaf_indices(packed_value[None, :])[0]
 
     def _node_bytes(self, indices: List[int]) -> List[bytes]:
         """Fetch specific node digests (by flat node index)."""
@@ -232,15 +239,6 @@ class PackedMerkleTree:
         b = digests_to_bytes(rows)
         return [b[i].tobytes() for i in range(len(indices))]
 
-    def _leaf_rows(self, start: int, count: int) -> List:
-        if self._packed is not None:
-            return [
-                unpack_scalar(self.field, self._packed[j])
-                for j in range(start, start + count)
-            ]
-        rows = comps_np_to_u64(np.asarray(self._dev_comps[start : start + count]))
-        return [unpack_scalar(self.field, rows[j]) for j in range(count)]
-
     def _parent_idx(self, index: int) -> int:
         """Reference virtual-index parent arithmetic (src/merkle.rs:188-207).
         NOTE: the inner-node formula is only a true parent map for
@@ -251,29 +249,66 @@ class PackedMerkleTree:
             return self.n_leafs + index // self.config.leafs_per_node
         return index + (self.get_node_number() - index + 1) // self.config.inner_children
 
-    def generate_proof_packed(self, packed_value: np.ndarray) -> MerklePath:
-        i = self._leaf_index(np.asarray(packed_value, dtype=np.uint64))
+    def generate_proofs_packed(self, packed_values: np.ndarray) -> List[MerklePath]:
+        """Batched proof generation: ONE device search, ONE node fetch and
+        ONE neighbour fetch for the whole batch (device round-trips are the
+        scarce resource on tunneled hardware)."""
+        idxs = self._leaf_indices(np.asarray(packed_values, dtype=np.uint64))
         k = self.config.leafs_per_node
         c = self.config.inner_children
-        leaf_neighbours = self._leaf_rows(i - i % k, k)
         n_nodes = self.get_node_number() - self.n_leafs
-        # collect all sibling-group node indices first, fetch in one batch
-        groups: List[List[int]] = []
-        current = self._parent_idx(i)
-        for _ in range(1, self.levels):
-            shifted = current - self.n_leafs
-            s = shifted - shifted % c
-            # slice semantics (truncate) for fan-ins > 2, like the host tree
-            groups.append(list(range(s, min(s + c, n_nodes))))
-            current = self._parent_idx(current)
-        flat = [g for grp in groups for g in grp]
-        fetched = self._node_bytes(flat)
-        path: List[List[bytes]] = []
+
+        all_groups: List[List[List[int]]] = []
+        for i in idxs:
+            groups: List[List[int]] = []
+            current = self._parent_idx(i)
+            for _ in range(1, self.levels):
+                shifted = current - self.n_leafs
+                s = shifted - shifted % c
+                # slice semantics (truncate) for fan-ins > 2, like the host tree
+                groups.append(list(range(s, min(s + c, n_nodes))))
+                current = self._parent_idx(current)
+            all_groups.append(groups)
+
+        flat = [g for groups in all_groups for grp in groups for g in grp]
+        fetched = self._node_bytes(flat) if flat else []
+
+        neigh_starts = [i - i % k for i in idxs]
+        all_neigh = self._leaf_rows_batch(neigh_starts, k)
+
+        proofs = []
         pos = 0
-        for grp in groups:
-            path.append(fetched[pos : pos + len(grp)])
-            pos += len(grp)
-        return MerklePath(leaf_neighbours=leaf_neighbours, path=path)
+        for qi, groups in enumerate(all_groups):
+            path: List[List[bytes]] = []
+            for grp in groups:
+                path.append(fetched[pos : pos + len(grp)])
+                pos += len(grp)
+            proofs.append(MerklePath(leaf_neighbours=all_neigh[qi], path=path))
+        return proofs
+
+    def _leaf_rows_batch(self, starts: List[int], count: int):
+        """Fetch `count` consecutive leaves from each start in one transfer."""
+        flat_idx = np.asarray(
+            [s + j for s in starts for j in range(count)], dtype=np.int64
+        )
+        if self._packed is not None:
+            rows = self._packed[flat_idx]
+        else:
+            rows = comps_np_to_u64(np.asarray(self._dev_comps[flat_idx]))
+        out = []
+        for qi in range(len(starts)):
+            out.append([
+                unpack_scalar(self.field, rows[qi * count + j]) for j in range(count)
+            ])
+        return out
+
+    def generate_proof_packed(self, packed_value: np.ndarray) -> MerklePath:
+        return self.generate_proofs_packed(
+            np.asarray(packed_value, dtype=np.uint64)[None, :]
+        )[0]
 
     def generate_proof(self, leaf) -> MerklePath:
         return self.generate_proof_packed(pack_scalars(self.field, [leaf])[0])
+
+    def generate_proofs(self, leafs) -> List[MerklePath]:
+        return self.generate_proofs_packed(pack_scalars(self.field, leafs))

@@ -343,7 +343,8 @@ class DeviceEngine:
             )
             next_reads = nxt.cw_read_many([b % nxt.size for b in red_betas])
 
-            round_points, round_queries, round_quotients = [], [], []
+            round_points, round_quotients = [], []
+            proof_values = []
             for qi, beta in enumerate(red_betas):
                 x1 = ext.pow(prev_gen, beta)
                 x2 = ext.pow(prev_gen, nxt.size + beta)
@@ -353,14 +354,17 @@ class DeviceEngine:
                 y2 = prev_reads[len(red_betas) + qi]
                 y3 = next_reads[qi]
                 round_points.append([(x1, y1), (x2, y2), (x3, y3)])
+                proof_values.extend([y1, y2])
 
                 a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
                 b = ext.sub(y1, ext.mul(a, x1))
                 round_quotients.append(self._query_quotient(prev, a, b, x1, x2))
 
-                p1 = prev.tree.generate_proof(y1)
-                p2 = prev.tree.generate_proof(y2)
-                round_queries.append([p1, p2])
+            # one batched search + node/neighbour fetch for the whole round
+            proofs = prev.tree.generate_proofs(proof_values)
+            round_queries = [
+                [proofs[2 * qi], proofs[2 * qi + 1]] for qi in range(len(red_betas))
+            ]
 
             points.append(round_points)
             queries.append(round_queries)

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .sha256 import sha256_blocks
 from .u32 import mul64_wide

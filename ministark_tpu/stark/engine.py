@@ -172,7 +172,6 @@ class DeviceEngine:
         merlin = Merlin(cfg.io)
 
         n = trace.domain_size
-        w = trace.width
 
         self._t("trace_commit")
         # 1.1 trace commitment (cols hold canonical values < p, fit in u64)

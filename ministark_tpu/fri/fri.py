@@ -27,9 +27,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Tuple
 
+import logging
+
 from ..commit import MerkleRoot, MerkleTree, MerkleTreeConfig
 from ..poly import DensePolynomial, Radix2EvaluationDomain
 from ..transcript.merlin import Arthur, Merlin
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -89,6 +93,11 @@ class Fri:
     """src/fri.rs:32-290."""
 
     def __init__(self, field, config: FriConfig):
+        # config echo mirrors src/fri.rs:46-49
+        logger.info(
+            "FRI initialized: queries %s | blowup factor %s | rounds %s",
+            config.queries, config.blowup_factor, config.rounds,
+        )
         self.field = field
         self.config = config
 
@@ -134,6 +143,9 @@ class Fri:
 
         points, queries, quotients = [], [], []
         for round_i in range(len(fri_rounds) - 1):
+            # the reference has a stray println!("Prove Round {i}") here
+            # (src/fri.rs:133); kept as a debug log so bench stdout stays clean
+            logger.debug("Prove Round %s", round_i)
             previous, rnd = fri_rounds[round_i], fri_rounds[round_i + 1]
             assert previous.domain.size() // cfg.merkle_config.inner_children == rnd.domain.size()
 
@@ -184,6 +196,7 @@ class Fri:
         domain = Radix2EvaluationDomain(F, 1 << cfg.rounds)
         prev_x3s = [domain.element(b) for b in betas]
         for i, (round_points, round_queries) in enumerate(zip(proof.points, proof.queries)):
+            logger.debug("FRI Verifier: verification Round %s", i + 1)
             for j, (pts, paths) in enumerate(zip(round_points, round_queries)):
                 (x1, y1), (x2, y2), (x3, y3) = pts
                 path1, path2 = paths

@@ -135,6 +135,8 @@ def _ntt_fori(ops, x, rev, tw_table, n):
 
     tw_table: (n/2[, limbs]) powers root^0..root^(n/2-1)."""
     log_n = n.bit_length() - 1
+    rev = jnp.asarray(rev)
+    tw_table = jnp.asarray(tw_table)  # numpy callers embed as a literal
     x = x[:, rev]
     idx = jnp.arange(n, dtype=jnp.uint32)
 

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..ops.ntt_device import get_ntt_fns
+
 from ..ops.poly_device import fold_even_odd, mix_columns
 from ..ops.registry import get_kernels
 
@@ -30,18 +31,45 @@ def make_prove_core(stark_field, n: int):
     """
     base = stark_field.base
     kb = get_kernels(base)
-    _, ifft, _, _ = get_ntt_fns(base, n)
-    _, _, coset_fft, _ = get_ntt_fns(base, 2 * n)
+    # NOTE build the NTT tables as NUMPY constants and inline the transform
+    # bodies: calling the top-level jitted NTT closures from inside this jit
+    # would capture their device-resident tables as constants, and lowering
+    # then materializes them host-side (minutes through a slow tunnel).
+    from ..ops.ntt_device import (
+        _bitrev_indices,
+        _field_ops,
+        _ntt_fori,
+        _powers,
+        _root_powers_table,
+    )
+
+    ops = _field_ops(base)
+    p = base.p
+
+    def _tables(m):
+        root = base.get_root_of_unity(m)
+        rev = np.asarray(_bitrev_indices(m))
+        tw = np.asarray(ops.pack(list(_root_powers_table(p, root, max(m // 2, 1)))))
+        return rev, tw
+
+    rev_n, _ = _tables(n)
+    root_inv_n = base.inv(base.get_root_of_unity(n))
+    tw_n_inv = np.asarray(ops.pack(list(_root_powers_table(p, root_inv_n, max(n // 2, 1)))))
+    rev_2n, tw_2n = _tables(2 * n)
+    n_inv = np.asarray(ops.pack([base.inv(base.from_int(n))])[0])
 
     @jax.jit
     def core(cols, omega, shift, weights):
-        tp = ifft(cols)                                   # (3, n, *e)
+        y = _ntt_fori(ops, cols, rev_n, tw_n_inv, n)
+        tp = ops.mul(y, n_inv[None, None])                # (3, n, *e) iFFT
         t1 = kb.sub(kb.scale_base(tp[0], jnp.broadcast_to(omega, tp[0].shape)), tp[1])
         t3 = kb.sub(kb.sub(tp[2], tp[0]), tp[1])
         allc = jnp.concatenate([tp, t1[None], t1[None], t3[None]], axis=0)
         pad = jnp.zeros_like(allc)
         padded = jnp.concatenate([allc, pad], axis=1)     # (6, 2n, *e)
-        lde = coset_fft(padded, shift)
+        pw = _powers(ops, shift, 2 * n)
+        scaled = ops.mul(padded, pw[None])
+        lde = _ntt_fori(ops, scaled, rev_2n, tw_2n, 2 * n)
         mixed = mix_columns(kb, allc, weights)            # (n, *e)
         folded = fold_even_odd(kb, mixed, weights[1])     # representative fold
         return lde, mixed, folded
@@ -72,7 +100,20 @@ def make_sharded_prove_core(stark_field, n: int, mesh, axis: str = "shards"):
 
     base = stark_field.base
     kb = get_kernels(base)
-    _, ifft, _, _ = get_ntt_fns(base, n)
+    from ..ops.ntt_device import (
+        _bitrev_indices,
+        _field_ops,
+        _ntt_fori,
+        _root_powers_table,
+    )
+
+    ops = _field_ops(base)
+    root_inv_n = base.inv(base.get_root_of_unity(n))
+    rev_n = np.asarray(_bitrev_indices(n))
+    tw_n_inv = np.asarray(
+        ops.pack(list(_root_powers_table(base.p, root_inv_n, max(n // 2, 1))))
+    )
+    n_inv = np.asarray(ops.pack([base.inv(base.from_int(n))])[0])
     sharded_ntt = make_sharded_ntt_fns(base, 2 * n, mesh, axis)
 
     elem_spec = [None] * len(kb.elem_axes)
@@ -81,7 +122,8 @@ def make_sharded_prove_core(stark_field, n: int, mesh, axis: str = "shards"):
     @jax.jit
     def core(cols, omega, weights):
         # trace interpolation (replicated batch of 3 columns)
-        tp = ifft(cols)
+        y = _ntt_fori(ops, cols, rev_n, tw_n_inv, n)
+        tp = ops.mul(y, n_inv[None, None])
         t1 = kb.sub(kb.scale_base(tp[0], jnp.broadcast_to(omega, tp[0].shape)), tp[1])
         t3 = kb.sub(kb.sub(tp[2], tp[0]), tp[1])
         allc = jnp.concatenate([tp, t1[None], t1[None], t3[None]], axis=0)

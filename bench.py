@@ -47,7 +47,8 @@ def device_prove(steps):
     from ministark_tpu.stark.engine import DeviceEngine
 
     sf = _field()
-    dtrace = fibonacci_device_trace(sf, steps)
+    on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
+    dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
     cfg = StarkConfig(sf, 20, 2, steps, dtrace.constrain_number())
     engine = DeviceEngine(cfg)
 

@@ -65,24 +65,27 @@ FRI_DEVICE_HASH_MIN = 1 << 17
 class DeviceTrace:
     """Array-native TraceTable equivalent.
 
-    ``cols``: (width, N) object-int numpy array of column *evaluations* over
-    the trace domain (rows >= steps already carry the deterministic ZK
-    padding). ``transitions`` map the packed trace-poly coefficient array
+    ``cols``: (width, N) u64 numpy array of column *evaluations* over the
+    trace domain (rows >= steps already carry the deterministic ZK padding),
+    OR ``cols_dev``: the same data as a packed (width, N, *elem) device array
+    (fully on-device witness generation — never touches the host).
+    ``transitions`` map the packed trace-poly coefficient array
     (width, N, *elem) to one packed (N, *elem) constraint coefficient array.
     """
 
     stark_field: object
     steps: int
-    cols: np.ndarray
+    cols: "np.ndarray | None"
     transitions: List[Callable]
+    cols_dev: object = None
 
     @property
     def width(self) -> int:
-        return self.cols.shape[0]
+        return (self.cols if self.cols is not None else self.cols_dev).shape[0]
 
     @property
     def domain_size(self) -> int:
-        return self.cols.shape[1]
+        return (self.cols if self.cols is not None else self.cols_dev).shape[1]
 
     def constrain_number(self) -> int:
         return self.width + len(self.transitions)
@@ -145,8 +148,11 @@ class DeviceEngine:
         """(width, N) evaluations -> packed (width, N, *elem) coefficients."""
         base = self.config.stark_field.base
         n = trace.domain_size
-        x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
-            (trace.width, n) + self.kb.elem_axes))
+        if trace.cols_dev is not None:
+            x = trace.cols_dev
+        else:
+            x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
+                (trace.width, n) + self.kb.elem_axes))
         _, ifft, _, _ = get_ntt_fns(base, n)
         return ifft(x)
 
@@ -175,10 +181,25 @@ class DeviceEngine:
 
         self._t("trace_commit")
         # 1.1 trace commitment (cols hold canonical values < p, fit in u64)
-        trace_vals_u64 = np.ascontiguousarray(
-            trace.cols.T.astype(np.uint64)
-        ).reshape(-1, 1)
-        trace_tree = PackedMerkleTree(base, trace_vals_u64, cfg.merkle_config)
+        if trace.cols_dev is not None:
+            rows_dev = jnp.moveaxis(trace.cols_dev, 0, 1).reshape(
+                (n * trace.width,) + kb.elem_axes
+            )
+            if self._device_hash_on():
+                trace_tree = PackedMerkleTree(
+                    base, None, cfg.merkle_config, device_vals=rows_dev
+                )
+            else:
+                trace_tree = PackedMerkleTree(
+                    base,
+                    self._base_to_u64(rows_dev).reshape(-1, 1),
+                    cfg.merkle_config,
+                )
+        else:
+            trace_vals_u64 = np.ascontiguousarray(
+                trace.cols.T.astype(np.uint64)
+            ).reshape(-1, 1)
+            trace_tree = PackedMerkleTree(base, trace_vals_u64, cfg.merkle_config)
         trace_commit = trace_tree.root()
         merlin.add_bytes(trace_commit)
 

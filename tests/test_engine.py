@@ -154,3 +154,34 @@ def test_engine_device_verify(monkeypatch):
     except AssertionError as e:
         if "tampered" in str(e):
             raise
+
+
+def test_on_device_witness_generation(monkeypatch):
+    """Fully on-device trace generation must be bit-identical to the host
+    path, and the resulting proof byte-equal."""
+    import numpy as np
+    import ministark_tpu.stark.engine as eng
+    from ministark_tpu.models.fibonacci_device import (
+        fibonacci_device_trace,
+        fibonacci_trace_cols_on_device,
+    )
+    from ministark_tpu.ops.registry import get_kernels
+
+    monkeypatch.setattr(eng, "DEVICE_MIN_SIZE", 8)
+    for sf, steps in ((Goldilocks, 61), (BabyBear, 13)):
+        kb = get_kernels(sf.base)
+        host_trace = fibonacci_device_trace(sf, steps)
+        dev_cols = np.asarray(fibonacci_trace_cols_on_device(sf, steps))
+        host_packed = kb.pack(host_trace.cols.reshape(-1)).reshape(dev_cols.shape)
+        assert np.array_equal(dev_cols, host_packed)
+
+    sf = Goldilocks
+    steps = 61
+    from ministark_tpu.stark import StarkConfig
+    from ministark_tpu.stark.engine import DeviceEngine
+
+    cfg = StarkConfig(sf, 20, 2, steps, 6)
+    ref = DeviceEngine(cfg).prove(fibonacci_device_trace(sf, steps))
+    dev = DeviceEngine(cfg).prove(fibonacci_device_trace(sf, steps, on_device=True))
+    assert dev.arthur == ref.arthur
+    assert dev.trace_commit == ref.trace_commit

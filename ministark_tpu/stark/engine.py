@@ -363,8 +363,9 @@ class DeviceEngine:
             )
             next_reads = nxt.cw_read_many([b % nxt.size for b in red_betas])
 
-            round_points, round_quotients = [], []
+            round_points = []
             proof_values = []
+            lines = []
             for qi, beta in enumerate(red_betas):
                 x1 = ext.pow(prev_gen, beta)
                 x2 = ext.pow(prev_gen, nxt.size + beta)
@@ -378,7 +379,15 @@ class DeviceEngine:
 
                 a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
                 b = ext.sub(y1, ext.mul(a, x1))
-                round_quotients.append(self._query_quotient(prev, a, b, x1, x2))
+                lines.append((a, b, x1, x2))
+
+            if prev.device:
+                round_quotients = self._query_quotients_batch(prev, lines)
+            else:
+                round_quotients = [
+                    self._query_quotient(prev, a, b, x1, x2)
+                    for (a, b, x1, x2) in lines
+                ]
 
             # one batched search + node/neighbour fetch for the whole round
             proofs = prev.tree.generate_proofs(proof_values)
@@ -466,6 +475,34 @@ class DeviceEngine:
         dv_poly = DensePolynomial(ext, [deep_value])
         denominator = DensePolynomial(ext, [ext.neg(z), ext.one()])
         return ((folded - dv_poly) / denominator).to_vec()
+
+    def _query_quotients_batch(self, prev: "_FriRoundRepr", lines):
+        """All queries' quotients for one round in ONE executable + ONE
+        length scan + ONE bounded pull (round-trips dominate on the tunnel)."""
+        ext = self.config.stark_field.extension
+        ke = self.ke
+        pc = prev.coeffs
+        if pc.shape[0] < 2:
+            padz = jnp.zeros((2 - pc.shape[0],) + tuple(pc.shape[1:]),
+                             dtype=jnp.uint32)
+            pc = jnp.concatenate([pc, padz], axis=0)
+        n0 = pc.shape[0]
+
+        def stack(vals):
+            return jnp.asarray(np.stack([np.asarray(ke.pack_scalar(v)) for v in vals]))
+
+        a_s = stack([l[0] for l in lines])
+        b_s = stack([l[1] for l in lines])
+        x1_s = stack([l[2] for l in lines])
+        x2_s = stack([l[3] for l in lines])
+        s1_s = stack([ext.pow(ext.inv(l[2]), n0 - 1) for l in lines])
+        s2_s = stack([ext.pow(ext.inv(l[3]), n0 - 1) for l in lines])
+
+        qs, effs = _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s)
+        effs = [int(e) for e in np.asarray(effs)]
+        m = max(effs + [0])
+        arr = np.asarray(qs[:, :m]) if m else np.asarray(qs[:, :0])
+        return [arr[qi, : effs[qi]] for qi in range(len(lines))]
 
     def _query_quotient(self, prev: "_FriRoundRepr", a, b, x1, x2):
         ext = self.config.stark_field.extension
@@ -653,6 +690,30 @@ def _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv_scale, x2inv_scale):
     q1 = _synth_div_jit(ke, num, x1p, x1inv_scale)
     q1 = _pad_to_jit(ke, q1, pc.shape[0])
     return _synth_div_jit(ke, q1, x2p, x2inv_scale)
+
+
+@partial(jax.jit, static_argnums=0)
+def _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s):
+    """Per-query quotients stacked (Q, n0-2, *elem) plus their effective
+    lengths (Q,). Q is small and static, so the graph is Q copies of the
+    single-query pipeline in one executable."""
+    outs, effs = [], []
+    n0 = pc.shape[0]
+    for qi in range(a_s.shape[0]):
+        num = jnp.concatenate(
+            [ke.sub(pc[0:1], b_s[qi][None]), ke.sub(pc[1:2], a_s[qi][None]), pc[2:]],
+            axis=0,
+        )
+        q1 = synth_div_suffix(ke, num, x1_s[qi], s1_s[qi])
+        zpad = jnp.zeros((1,) + tuple(q1.shape[1:]), dtype=jnp.uint32)
+        q1 = jnp.concatenate([q1, zpad], axis=0)
+        q2 = synth_div_suffix(ke, q1, x2_s[qi], s2_s[qi])
+        outs.append(q2)
+        flat = q2.reshape(q2.shape[0], -1)
+        nz = jnp.any(flat != 0, axis=1)
+        idx = jnp.arange(q2.shape[0])
+        effs.append(jnp.max(jnp.where(nz, idx + 1, 0)))
+    return jnp.stack(outs, axis=0), jnp.stack(effs)
 
 
 _powers_jit = jax.jit(powers, static_argnums=(0, 2))

@@ -68,6 +68,26 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        # Known-answer self-test before the backend is trusted: a stale or
+        # foreign-architecture binary must never silently corrupt commitments
+        # (ADVICE r1). Any failure (wrong digest, SIGILL surfaces as an
+        # exception from the call) demotes to the hashlib/device fallbacks.
+        try:
+            import hashlib
+
+            probe = b"ministark native self-test"
+            out = np.empty(32, dtype=np.uint8)
+            buf = np.frombuffer(bytearray(probe), dtype=np.uint8)
+            lib.sha256_oneshot(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(probe),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if out.tobytes() != hashlib.sha256(probe).digest():
+                _lib = False
+                return _lib
+        except Exception:
+            _lib = False
+            return _lib
         _lib = lib
         return _lib
 

@@ -551,6 +551,17 @@ class DeviceEngine:
         queries = arthur.challenge_scalars(ext, cfg.constrain_queries)
         ext_coeffs = lift_base_array(ke, jnp.asarray(constrain_coeffs))
         total = ext_coeffs.shape[0]
+        # The host/reference verifier divides by the vanishing poly of
+        # Radix2(degree+1); when the trace domain exceeds that (steps an exact
+        # power of two), divide_by_vanishing_poly leaves a nonzero remainder
+        # and the reference rejects. Our weighted-sum shortcut is only valid
+        # when the domains coincide — raise like the host otherwise (ADVICE r1).
+        verifier_domain = Radix2EvaluationDomain(ext, cfg.degree + 1)
+        assert constrain_coeffs.shape[1] <= verifier_domain.size(), (
+            f"trace domain {constrain_coeffs.shape[1]} exceeds the verifier "
+            f"domain {verifier_domain.size()}: the reference verifier would "
+            f"reject (§8.3 divergence outside non-pow2 step counts)"
+        )
         for query, constrain_query, validity_query in zip(
             queries, proof.constrain_queries, proof.validity_queries
         ):

@@ -89,6 +89,14 @@ class StarkConfig:
             raise AssertionError("")
         log_steps = ceil_log2_k(steps, 2)
         modulus_bits = stark_field.base.modulus_bit_size
+        # The reference computes security_bits / (modulus_bits - log_steps) in
+        # usize arithmetic and would panic on underflow when the trace is as
+        # long as the modulus allows; raise the equivalent hard error instead
+        # of silently producing a nonsensical query count (ADVICE r1).
+        assert modulus_bits > log_steps, (
+            f"trace too long for field: log2(steps)={log_steps} >= "
+            f"modulus bits {modulus_bits} (reference panics via usize underflow)"
+        )
         linking_queries = -(-security_bits // (modulus_bits - log_steps))
 
         rounds = ceil_log2_k(steps * blowup_factor, 2)

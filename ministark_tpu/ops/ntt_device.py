@@ -194,16 +194,42 @@ def _coset_ifft_impl(x, offset_inv, rev, tw_inv, n_inv, *, ops):
 FOUR_STEP_MIN = 1 << 13
 
 
-def _twiddle_matrix(ops, root_packed, n1: int, n2: int):
-    """W[i, j] = root^(i*j) on device via j-bit repeated squaring."""
-    a = _powers(ops, root_packed, n1)               # root^i, (n1, *limbs)
-    elem_nd = a.ndim - 1
-    one = jnp.zeros_like(a[0])
-    if elem_nd == 1:
-        one = one.at[0].set(1)
+def _packed_one_like(scalar):
+    """Packed field 1 with the same element shape as ``scalar``."""
+    one = jnp.zeros_like(scalar)
+    if scalar.ndim >= 1:  # limbed: set the low limb of the last axis chain
+        idx = (0,) * scalar.ndim
+        one = one.at[idx].set(1)
     else:
         one = one + 1
-    W = jnp.broadcast_to(one, (n1, n2) + tuple(a.shape[1:]))
+    return one
+
+
+def _pow_traced(ops, base_packed, exp, nbits: int):
+    """base^exp for a TRACED integer exponent via square-and-multiply over a
+    static bit count (exp < 2^nbits). Used for per-shard offset powers."""
+    one = _packed_one_like(base_packed)
+
+    def body(b, carry):
+        acc, sq = carry
+        bit = (exp >> b) & 1
+        acc = jnp.where(bit == 1, ops.mul(acc, sq), acc)
+        return acc, ops.mul(sq, sq)
+
+    acc, _ = jax.lax.fori_loop(0, max(nbits, 1), body, (one, base_packed))
+    return acc
+
+
+def _twiddle_rows(ops, row_bases, n2: int):
+    """W[i, j] = row_bases[i]^j via j-bit repeated squaring (device-only).
+
+    row_bases: (n1, *limbs). Shared by the single-chip four-step
+    (row_bases = root^i) and the sharded NTT (row_bases = root^(i0+i) for a
+    shard's local rows) — no host bigint loops at any size."""
+    a = row_bases
+    elem_nd = a.ndim - 1
+    one = _packed_one_like(a[0])
+    W = jnp.broadcast_to(one, (a.shape[0], n2) + tuple(a.shape[1:]))
     jidx = jnp.arange(n2)
     a2 = a
     for b in range((n2 - 1).bit_length()):
@@ -212,6 +238,11 @@ def _twiddle_matrix(ops, root_packed, n1: int, n2: int):
         W = jnp.where(m, ops.mul(W, a2[:, None]), W)
         a2 = ops.mul(a2, a2)
     return W
+
+
+def _twiddle_matrix(ops, root_packed, n1: int, n2: int):
+    """W[i, j] = root^(i*j) on device via j-bit repeated squaring."""
+    return _twiddle_rows(ops, _powers(ops, root_packed, n1), n2)
 
 
 def _four_step_core(ops, x, n1: int, n2: int, rev1, tw1, rev2, tw2, W):

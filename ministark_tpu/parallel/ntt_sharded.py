@@ -1,39 +1,50 @@
 """Multi-chip sharded NTT via the four-step (Bailey) factorization.
 
-For N = N1 * N2 with coefficients viewed as A[n1][n2] = x[n1 + N1*n2]:
+For N = N1 * N2 with coefficients viewed column-major as
+A[i1][i2] = x[i1 + N1*i2]:
 
-  1. length-N2 NTT of every row n1                (local — rows sharded)
-  2. twiddle multiply by w_N^(n1 * k2)            (local)
-  3. transpose the distributed matrix             (all_to_all over ICI)
+  1. length-N2 NTT of every row i1                (local — rows sharded)
+  2. twiddle multiply by w_N^(i1 * k2)            (local, device-built)
+  3. transpose the distributed matrix             (one all_to_all over ICI)
   4. length-N1 NTT of every row k2                (local)
 
-yielding X[k2 + N2*k1] = D[k1][k2] — i.e. the natural-order evaluations are
-the row-major flatten of the final (N1, N2)-matrix after a local transpose.
+yielding D[k1][k2] = X[k2 + N2*k1] — natural-order output after a local
+transpose + flatten.
 
-Each step is expressed inside one ``shard_map`` over a 1-D mesh axis; the only
-communication is the single ``all_to_all`` (plus the optional output
-all-gather). Bit-exact with ops/ntt_device.py and the host oracle
-(tests/test_sharded.py); scaling efficiency is measured in bench.py.
+All twiddle material is built ON DEVICE: the per-stage tables are O(sqrt N)
+host ints (cheap), and the step-2 twiddle matrix rows are computed inside the
+shard_map body from each shard's row offset (``_twiddle_rows`` +
+``_pow_traced`` from ops/ntt_device.py) — no O(N) host bigint work at any
+size (round-1 review item).
 
-Sharding layout: rows n1 are partitioned across devices, so device d holds
-A[d*N1/D : (d+1)*N1/D, :]. N1 is chosen as max(D, closest power of two to
-sqrt(N)) rounded to a multiple of D.
+API mirrors ops/ntt_device.get_ntt_fns: ``get_sharded_ntt_fns(field, n,
+mesh)`` -> (fft, ifft, coset_fft, coset_ifft), each taking/returning
+(batch, n[, limbs]) uint32 arrays in natural order. Inputs may carry any
+sharding; the matrix view is shard-mapped over ``axis`` with the single
+all_to_all as the only communication. Bit-exact with ops/ntt_device.py and
+the host oracle (tests/test_sharded.py).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import gl as gl_ops
-from ..ops.ntt_device import _field_ops, _pack_twiddles, _bitrev_indices
+from ..ops.ntt_device import (
+    _bitrev_indices,
+    _field_ops,
+    _ntt_core,
+    _pack_twiddles,
+    _pow_traced,
+    _powers,
+    _twiddle_rows,
+)
 
 
 def _split_sizes(n: int, n_dev: int):
-    """Pick N1 (row count, multiple of n_dev) and N2 = n // N1."""
+    """Pick N1 (sharded row count, multiple of n_dev) and N2 = n // N1."""
     assert n_dev > 0 and n_dev & (n_dev - 1) == 0, (
         f"device count must be a power of two, got {n_dev}"
     )
@@ -41,105 +52,153 @@ def _split_sizes(n: int, n_dev: int):
     n1 = 1 << (log_n // 2)
     while n1 % n_dev != 0 and n1 <= n:
         n1 *= 2
-    assert n1 <= n, f"cannot split size {n} over {n_dev} devices"
+    assert n1 <= n and n % n1 == 0, f"cannot split size {n} over {n_dev} devices"
     return n1, n // n1
 
 
-def _local_ntt(ops, x, twiddles, rev, n):
-    """Batched in-place NTT on local rows: x (rows, n[, limbs])."""
-    elem = x.shape[2:]
-    x = x[:, rev]
-    length = 2
-    for tw in twiddles:
-        half = length // 2
-        blocks = n // length
-        xr = x.reshape((x.shape[0], blocks, 2, half) + elem)
-        e = xr[:, :, 0]
-        o = xr[:, :, 1]
-        wv = ops.mul(o, tw[None, None])
-        out = jnp.stack([ops.add(e, wv), ops.sub(e, wv)], axis=2)
-        x = out.reshape((x.shape[0], n) + elem)
-        length *= 2
-    return x
+def can_shard(n: int, n_dev: int) -> bool:
+    """True when the four-step split supports this (size, device) pair."""
+    if n_dev <= 1 or n_dev & (n_dev - 1):
+        return False
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    while n1 % n_dev != 0 and n1 <= n:
+        n1 *= 2
+    return n1 <= n and n % n1 == 0 and n // n1 >= n_dev
+
+
+def _make_body(ops, field, n1: int, n2: int, n_dev: int, axis: str):
+    """shard_map body: (batch, n1/D, n2[, limbs]) local rows -> (batch,
+    n2/D, n1[, limbs]) local transposed rows (both sharded over ``axis``)."""
+    p = field.p
+    n1_loc = n1 // n_dev
+    rev1 = jnp.asarray(_bitrev_indices(n1))
+    rev2 = jnp.asarray(_bitrev_indices(n2))
+    nbits_off = max(n1.bit_length() - 1, 1)
+
+    def body(a_local, root_packed, tw1, tw2):
+        # step-2 twiddle rows for THIS shard: W[i][k2] = root^((i0+i) * k2)
+        d = jax.lax.axis_index(axis)
+        i0 = (d * n1_loc).astype(jnp.int32)
+        r_i0 = _pow_traced(ops, root_packed, i0, nbits_off)
+        rb = ops.mul(
+            _powers(ops, root_packed, n1_loc),
+            jnp.broadcast_to(r_i0, (n1_loc,) + tuple(root_packed.shape)),
+        )
+        W_loc = _twiddle_rows(ops, rb, n2)                  # (n1/D, n2, *e)
+
+        batch = a_local.shape[0]
+        elem = a_local.shape[3:]
+        # step 1: length-n2 NTT per local row
+        flat = a_local.reshape((batch * n1_loc, n2) + elem)
+        b = _ntt_core(ops, flat[:, rev2], tw2, n2)
+        b = b.reshape((batch, n1_loc, n2) + elem)
+        # step 2: twiddle multiply
+        c = ops.mul(b, W_loc[None])
+        # step 3: distributed transpose — the single collective
+        dd = jax.lax.all_to_all(c, axis, split_axis=2, concat_axis=1, tiled=True)
+        dt = jnp.swapaxes(dd, 1, 2)                         # (batch, n2/D, n1)
+        # step 4: length-n1 NTT per transposed row
+        flat = dt.reshape((batch * (n2 // n_dev), n1) + elem)
+        e = _ntt_core(ops, flat[:, rev1], tw1, n1)
+        return e.reshape((batch, n2 // n_dev, n1) + elem)
+
+    return body
 
 
 def make_sharded_ntt_fns(field, n: int, mesh: Mesh, axis: str = "shards"):
-    """Build a jitted sharded forward NTT closure for size n over ``mesh``.
+    """Build jitted sharded (fft, ifft, coset_fft, coset_ifft) for size n.
 
-    Returns ``fn(x)`` taking/returning a (n[, limbs]) GLOBAL natural-order
-    array (sharded in, replicated natural-order out).
-    """
+    Same signatures as ops/ntt_device.get_ntt_fns — (batch, n[, limbs])
+    natural-order arrays; coset offsets are traced packed scalars."""
     ops = _field_ops(field)
     p = field.p
     n_dev = mesh.shape[axis]
     n1, n2 = _split_sizes(n, n_dev)
+    assert n2 % n_dev == 0, (
+        f"four-step column count {n2} must divide over {n_dev} devices"
+    )
+
     root = field.get_root_of_unity(n)
+    root_inv = field.inv(root)
+    n_inv = field.inv(field.from_int(n))
+    root1, root2 = field.get_root_of_unity(n1), field.get_root_of_unity(n2)
+    tw1_f = _pack_twiddles(ops, p, root1, n1)
+    tw1_i = _pack_twiddles(ops, p, field.inv(root1), n1)
+    tw2_f = _pack_twiddles(ops, p, root2, n2)
+    tw2_i = _pack_twiddles(ops, p, field.inv(root2), n2)
+    root_p = jnp.asarray(ops.pack([root])[0])
+    root_inv_p = jnp.asarray(ops.pack([root_inv])[0])
+    n_inv_p = jnp.asarray(ops.pack([n_inv])[0])
 
-    # local NTT tables
-    rev1 = jnp.asarray(_bitrev_indices(n1))
-    rev2 = jnp.asarray(_bitrev_indices(n2))
-    tw1 = _pack_twiddles(ops, p, field.get_root_of_unity(n1), n1)
-    tw2 = _pack_twiddles(ops, p, field.get_root_of_unity(n2), n2)
+    elem_nd = root_p.ndim
+    mat_spec = P(None, axis, *([None] * (1 + elem_nd)))  # (batch, rows, cols, *e)
+    scal_spec = P(*([None] * elem_nd))
+    tw_specs = tuple(P(*([None] * (1 + elem_nd))) for _ in range(2))
 
-    # step-2 twiddle matrix w^(n1*k2), sharded over n1 rows
-    n1_idx = np.arange(n1, dtype=object)
-    k2_idx = np.arange(n2, dtype=object)
-    tw_rows = np.empty((n1, n2), dtype=object)
-    wpow = [pow(root, i, p) for i in range(n1)]
-    for i in range(n1):
-        row = np.empty(n2, dtype=object)
-        cur = 1
-        w = wpow[i]
-        for j in range(n2):
-            row[j] = cur
-            cur = (cur * w) % p
-        tw_rows[i] = row
-    tw_mat = jnp.asarray(ops.pack(tw_rows))
-
-    elem_axes = (2,) if ops is gl_ops else ()
-    spec_in = P(axis)  # shard leading dim
-    full_spec = P(*([axis] + [None] * (1 + len(elem_axes))))
-
-    def body(a_local, tw_local):
-        # a_local: (n1/D, n2[, limbs]) — rows n1 for this shard
-        b = _local_ntt(ops, a_local, tw2, rev2, n2)        # step 1
-        c = ops.mul(b, tw_local)                            # step 2
-        # step 3: distributed transpose (n1, n2) -> (n2, n1)
-        # split columns into D chunks, exchange, rebuild rows of the transpose
-        d = jax.lax.all_to_all(c, axis, split_axis=1, concat_axis=0, tiled=True)
-        # d: (n1, n2/D ...) wait — tiled all_to_all: (n1/D, n2) -> (n1, n2/D)
-        dt = jnp.swapaxes(d, 0, 1)                          # (n2/D, n1)
-        e = _local_ntt(ops, dt, tw1, rev1, n1)              # step 4
-        return e  # rows k2 (sharded), columns k1
-
+    body = _make_body(ops, field, n1, n2, n_dev, axis)
     shmapped = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(full_spec, full_spec),
-        out_specs=full_spec,
+        body, mesh=mesh,
+        in_specs=(mat_spec, scal_spec) + tw_specs,
+        out_specs=mat_spec,
         check_vma=False,
     )
 
-    @jax.jit
-    def fn(x):
-        # x: (n[, limbs]) natural order -> matrix A[n1][n2] = x[n1 + N1*n2]
-        a = jnp.moveaxis(
-            x.reshape((n2, n1) + x.shape[1:]), 0, 1
-        )  # (n1, n2, ...)
-        e = shmapped(a, tw_mat)   # (n2, n1, ...) rows k2
-        # natural order: X[k2 + N2*k1] = D[k1][k2] -> transpose and flatten
-        out = jnp.moveaxis(e, 0, 1).reshape((n,) + x.shape[1:])
-        return out
+    def _transform(x, root_packed, tw1, tw2):
+        batch = x.shape[0]
+        elem = x.shape[2:]
+        # natural order -> column-major matrix A[i1][i2] = x[i1 + N1*i2]
+        a = jnp.swapaxes(x.reshape((batch, n2, n1) + elem), 1, 2)
+        e = shmapped(a, root_packed, tw1, tw2)              # (batch, n2, n1)
+        # D[k1][k2] = X[k2 + N2*k1]: transpose + flatten = natural order
+        return jnp.swapaxes(e, 1, 2).reshape((batch, n) + elem)
 
-    return fn
+    @jax.jit
+    def fft(x):
+        return _transform(x, root_p, tw1_f, tw2_f)
+
+    @jax.jit
+    def ifft(x):
+        y = _transform(x, root_inv_p, tw1_i, tw2_i)
+        return ops.mul(y, n_inv_p[None, None])
+
+    @jax.jit
+    def coset_fft(x, offset):
+        pw = _powers(ops, offset, n)
+        return _transform(ops.mul(x, pw[None]), root_p, tw1_f, tw2_f)
+
+    @jax.jit
+    def coset_ifft(x, offset_inv):
+        y = _transform(x, root_inv_p, tw1_i, tw2_i)
+        y = ops.mul(y, n_inv_p[None, None])
+        pw = _powers(ops, offset_inv, n)
+        return ops.mul(y, pw[None])
+
+    return fft, ifft, coset_fft, coset_ifft
+
+
+_FN_CACHE: dict = {}
+
+
+def get_sharded_ntt_fns(field, n: int, mesh: Mesh, axis: str = "shards"):
+    """Cached variant (one trace/compile per (field, size, mesh) — mirrors
+    ops/ntt_device.get_ntt_fns; round-1 review item)."""
+    key = (field.p, n, mesh, axis)
+    if key not in _FN_CACHE:
+        _FN_CACHE[key] = make_sharded_ntt_fns(field, n, mesh, axis)
+    return _FN_CACHE[key]
 
 
 def sharded_lde(field, coeffs, domain_size: int, mesh: Mesh, axis: str = "shards"):
-    """Forward NTT of zero-padded coeffs over ``domain_size`` using the mesh."""
-    fn = make_sharded_ntt_fns(field, domain_size, mesh, axis)
-    ops = _field_ops(field)
-    m = coeffs.shape[0]
+    """Forward NTT of zero-padded coeffs over ``domain_size`` using the mesh.
+
+    coeffs: (batch, m[, limbs]) with m <= domain_size."""
+    fft, _, _, _ = get_sharded_ntt_fns(field, domain_size, mesh, axis)
+    m = coeffs.shape[1]
     if m < domain_size:
-        pad = jnp.zeros((domain_size - m,) + tuple(coeffs.shape[1:]), dtype=jnp.uint32)
-        coeffs = jnp.concatenate([coeffs, pad], axis=0)
-    return fn(coeffs)
+        pad = jnp.zeros(
+            (coeffs.shape[0], domain_size - m) + tuple(coeffs.shape[2:]),
+            dtype=jnp.uint32,
+        )
+        coeffs = jnp.concatenate([coeffs, pad], axis=1)
+    return fft(coeffs)

@@ -105,7 +105,8 @@ class PackedMerkleTree:
     """Same commitment as commit/merkle.py MerkleTree, array-native."""
 
     def __init__(self, field, packed_vals: Optional[np.ndarray],
-                 config: MerkleTreeConfig, device_vals=None):
+                 config: MerkleTreeConfig, device_vals=None,
+                 mesh=None, mesh_axis: str = "shards"):
         self.field = field
         self.config = config
         self.fmt = field_fmt(field)
@@ -145,12 +146,27 @@ class PackedMerkleTree:
             from ..ops.sha256 import merkle_inner_levels_device
 
             self._dev_comps = comps
-            leaf_dig = leaf_hash_device_jit(comps, k, self.fmt)
-            if group_num > 1:
-                upper = merkle_inner_levels_device(leaf_dig, c)
-                self._dev_digests = jnp.concatenate([leaf_dig, upper], axis=0)
+            shard_build = False
+            if mesh is not None and group_num > 1:
+                from ..parallel.merkle_sharded import (
+                    can_shard_tree,
+                    sharded_tree_digests,
+                )
+
+                shard_build = can_shard_tree(n, k, mesh.shape[mesh_axis])
+            if shard_build:
+                # multi-chip build: local leaf hashing + subtrees, one
+                # gather of subtree roots — digests identical to below
+                self._dev_digests = sharded_tree_digests(
+                    comps, k, self.fmt, mesh, mesh_axis
+                )
             else:
-                self._dev_digests = leaf_dig
+                leaf_dig = leaf_hash_device_jit(comps, k, self.fmt)
+                if group_num > 1:
+                    upper = merkle_inner_levels_device(leaf_dig, c)
+                    self._dev_digests = jnp.concatenate([leaf_dig, upper], axis=0)
+                else:
+                    self._dev_digests = leaf_dig
         elif native.available():
             leaf_digests = native.leaf_hash_batch(self._packed, k, self.fmt)
             if group_num > 1:

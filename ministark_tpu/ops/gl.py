@@ -64,35 +64,46 @@ def _cond_sub_p(lo, hi):
     return jnp.where(geq, s_lo, lo), jnp.where(geq, s_hi, hi)
 
 
-def add(a, b):
-    """(a + b) mod p on (..., 2) uint32 arrays."""
-    lo = a[..., 0] + b[..., 0]
-    c = (lo < a[..., 0]).astype(U32)
-    hi = a[..., 1] + b[..., 1]
-    c2 = (hi < a[..., 1]).astype(U32)
+def add_planar(alo, ahi, blo, bhi):
+    """(a + b) mod p on separate lo/hi word arrays -> (lo, hi)."""
+    lo = alo + blo
+    c = (lo < alo).astype(U32)
+    hi = ahi + bhi
+    c2 = (hi < ahi).astype(U32)
     hi = hi + c
     c2 = c2 | (hi < c).astype(U32)
     # carry out of 2^64: add 2^32 - 1 (== 2^64 mod p)
     lo2 = lo + jnp.where(c2.astype(bool), EPS, np.uint32(0))
     wrap = (lo2 < lo).astype(U32)
     hi = hi + wrap
-    lo, hi = _cond_sub_p(lo2, hi)
+    return _cond_sub_p(lo2, hi)
+
+
+def add(a, b):
+    """(a + b) mod p on (..., 2) uint32 arrays."""
+    lo, hi = add_planar(a[..., 0], a[..., 1], b[..., 0], b[..., 1])
     return jnp.stack([lo, hi], axis=-1)
 
 
-def sub(a, b):
-    """(a - b) mod p."""
-    lo = a[..., 0] - b[..., 0]
-    bb = (a[..., 0] < b[..., 0]).astype(U32)
-    hi = a[..., 1] - b[..., 1]
-    b2 = (a[..., 1] < b[..., 1]).astype(U32)
+def sub_planar(alo, ahi, blo, bhi):
+    """(a - b) mod p on separate lo/hi word arrays -> (lo, hi)."""
+    lo = alo - blo
+    bb = (alo < blo).astype(U32)
+    hi = ahi - bhi
+    b2 = (ahi < bhi).astype(U32)
     hi2 = hi - bb
     b2 = b2 | ((hi < bb) & (bb > 0)).astype(U32)
     # borrow out of 2^64: subtract 2^32 - 1 (== add p then renormalize)
     lo2 = lo - jnp.where(b2.astype(bool), EPS, np.uint32(0))
     wrap = ((lo < EPS) & b2.astype(bool)).astype(U32)
     hi3 = hi2 - wrap
-    return jnp.stack([lo2, hi3], axis=-1)
+    return lo2, hi3
+
+
+def sub(a, b):
+    """(a - b) mod p."""
+    lo, hi = sub_planar(a[..., 0], a[..., 1], b[..., 0], b[..., 1])
+    return jnp.stack([lo, hi], axis=-1)
 
 
 def neg(a):
@@ -105,10 +116,16 @@ def neg(a):
     return jnp.where(is_zero[..., None], zero, out)
 
 
+def mul_planar(alo, ahi, blo, bhi):
+    """(a * b) mod p on separate lo/hi word arrays -> (lo, hi)."""
+    x0, x1, x2, x3 = mul64_wide(alo, ahi, blo, bhi)
+    return _reduce128(x0, x1, x2, x3)
+
+
 def mul(a, b):
     """(a * b) mod p via 128-bit product + Goldilocks reduction."""
-    x0, x1, x2, x3 = mul64_wide(a[..., 0], a[..., 1], b[..., 0], b[..., 1])
-    return jnp.stack(_reduce128(x0, x1, x2, x3), axis=-1)
+    lo, hi = mul_planar(a[..., 0], a[..., 1], b[..., 0], b[..., 1])
+    return jnp.stack([lo, hi], axis=-1)
 
 
 def square(a):

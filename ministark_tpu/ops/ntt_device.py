@@ -87,7 +87,11 @@ def _ntt_core(ops, x, twiddles, n):
         o = xr[:, :, 1]
         wv = ops.mul(o, tw[None, None])
         out = jnp.stack([ops.add(e, wv), ops.sub(e, wv)], axis=2)
-        x = out.reshape((batch, n) + x.shape[2:])
+        # fence each unrolled stage (chained fused field muls re-execute
+        # producers per use — see ops/poly_device.py::_ob)
+        x = jax.lax.optimization_barrier(
+            out.reshape((batch, n) + x.shape[2:])
+        )
         length *= 2
     return x
 
@@ -235,8 +239,11 @@ def _twiddle_rows(ops, row_bases, n2: int):
     for b in range((n2 - 1).bit_length()):
         mask = ((jidx >> b) & 1) == 1
         m = mask.reshape((1, n2) + (1,) * elem_nd)
-        W = jnp.where(m, ops.mul(W, a2[:, None]), W)
-        a2 = ops.mul(a2, a2)
+        # barrier per unrolled step: fused chained field muls re-execute the
+        # producer at every use site (exponential in chain depth, see
+        # ops/poly_device.py::_ob)
+        W = jax.lax.optimization_barrier(jnp.where(m, ops.mul(W, a2[:, None]), W))
+        a2 = jax.lax.optimization_barrier(ops.mul(a2, a2))
     return W
 
 
@@ -333,8 +340,20 @@ def make_ntt_fns(field, n: int):
 
     Sizes >= FOUR_STEP_MIN use the four-step factorization (two unrolled
     ~sqrt(n) passes + transposes): small executables AND contiguous
-    near-roofline memory access.
+    near-roofline memory access. On TPU, supported sizes use the Pallas
+    VMEM-resident four-step (ops/ntt_pallas.py) — ~5 HBM passes total
+    instead of one read+write per butterfly stage. MINISTARK_PALLAS=1/0
+    forces it on/off (the build is cached per (field, n): set the env var
+    before the first transform of that size).
     """
+    from . import ntt_pallas
+
+    env = __import__("os").environ.get("MINISTARK_PALLAS")
+    use_pallas = ntt_pallas.supports(n) and (
+        env == "1" or (env != "0" and ntt_pallas._on_tpu())
+    )
+    if use_pallas:
+        return ntt_pallas.make_pallas_ntt_fns(field, n)
     if n >= FOUR_STEP_MIN:
         return _make_four_step_fns(field, n)
     ops = _field_ops(field)

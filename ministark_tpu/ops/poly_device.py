@@ -24,6 +24,14 @@ import numpy as np
 
 from .registry import FieldKernels
 
+# Fusion fence for chained field muls. XLA's elementwise loop fusion inlines a
+# producer's expression at EVERY use site of EVERY consumer; a wide-integer
+# field mul reads each input component ~4-6 times, so a chain of k fused muls
+# executes ~5^k times the work (measured 60x for a 3-deep Fp2 chain on
+# XLA:CPU). A barrier after each mul layer materializes the result once and
+# restores linear cost; the few extra memory passes are noise next to that.
+_ob = jax.lax.optimization_barrier
+
 
 def _mask_where(k: FieldKernels, mask_1d, a, b):
     """elementwise select with a (n,)-mask broadcast over element limb axes."""
@@ -172,10 +180,12 @@ def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
     """
     n = coeffs.shape[0]
     pw = powers(k, zp, n)                       # z^0 .. z^{n-1}
-    t = k.mul(coeffs, pw)
+    t = _ob(k.mul(coeffs, pw))
     suf = suffix_sums(k, t)                      # T_i = sum_{j>=i} c_j z^j
     # z^{-(i+1)} = z^{n-2-i} * z^{-(n-1)}  for i in [0, n-2]
-    inv_pw = k.mul(pw[: n - 1][::-1], jnp.broadcast_to(zinv_scale, pw[: n - 1].shape))
+    inv_pw = _ob(
+        k.mul(pw[: n - 1][::-1], jnp.broadcast_to(zinv_scale, pw[: n - 1].shape))
+    )
     return k.mul(suf[1:], inv_pw)
 
 
@@ -226,7 +236,7 @@ def batch_inverse(k: FieldKernels, arr, total_inv):
     p_prev = jnp.concatenate([one[None], pre[:-1]], axis=0)
     s_next = jnp.concatenate([suf[1:], one[None]], axis=0)
     ti = jnp.broadcast_to(total_inv, arr.shape)
-    return k.mul(k.mul(p_prev, s_next), ti)
+    return k.mul(_ob(k.mul(p_prev, s_next)), ti)
 
 
 def batch_inverse_full(field, k: FieldKernels, arr):

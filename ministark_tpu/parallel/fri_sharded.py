@@ -40,11 +40,15 @@ from ..ops.registry import FieldKernels, get_kernels
 
 
 def _pow2_chain(k: FieldKernels, x, e: int):
-    """x^e for a STATIC power-of-two e via repeated squaring."""
+    """x^e for a STATIC power-of-two e via repeated squaring.
+
+    Each squaring is fenced with an optimization barrier: an unrolled chain of
+    fused field muls re-executes the producer expression at every input use,
+    which is exponential in chain length (see ops/poly_device.py::_ob)."""
     assert e & (e - 1) == 0 and e >= 1
     y = x
     for _ in range(e.bit_length() - 1):
-        y = k.mul(y, y)
+        y = jax.lax.optimization_barrier(k.mul(y, y))
     return y
 
 
@@ -88,8 +92,11 @@ def make_sharded_fri_fns(field, n: int, mesh: Mesh, axis: str = "shards"):
         pw = powers(k, z, half)                       # z^0..z^(half-1)
         z_half = _pow2_chain(k, z, m // 2)            # z^(m/2)
         z_off = _pow_traced(k, z_half, d.astype(jnp.int32), d_bits)
-        fe_part = _dot(k, even, k.mul(pw, jnp.broadcast_to(z_off, pw.shape)))
-        fo_part = _dot(k, odd, k.mul(pw, jnp.broadcast_to(z_off, pw.shape)))
+        pw_off = jax.lax.optimization_barrier(
+            k.mul(pw, jnp.broadcast_to(z_off, pw.shape))
+        )
+        fe_part = _dot(k, even, pw_off)
+        fo_part = _dot(k, odd, pw_off)
         fe = _allreduce_field(k, fe_part, axis)
         fo = _allreduce_field(k, fo_part, axis)
         return fe, fo
@@ -107,7 +114,10 @@ def make_sharded_fri_fns(field, n: int, mesh: Mesh, axis: str = "shards"):
         pw = powers(k, z, m)
         z_m = _pow2_chain(k, z, m)
         z_off = _pow_traced(k, z_m, d, d_bits)
-        t = k.mul(coeffs_local, k.mul(pw, jnp.broadcast_to(z_off, pw.shape)))
+        pw_off = jax.lax.optimization_barrier(
+            k.mul(pw, jnp.broadcast_to(z_off, pw.shape))
+        )
+        t = jax.lax.optimization_barrier(k.mul(coeffs_local, pw_off))
         s_loc = suffix_sums(k, t)                     # local inclusive suffix
         # exclusive suffix of later-shard totals: E_d = sum_{s > d} total_s
         totals = jax.lax.all_gather(s_loc[0], axis)   # (n_dev, *e)
@@ -123,7 +133,10 @@ def make_sharded_fri_fns(field, n: int, mesh: Mesh, axis: str = "shards"):
         pwi = powers(k, zinv, m + 1)[1:]              # zinv^1 .. zinv^m
         zi_m = _pow2_chain(k, zinv, m)
         zi_off = _pow_traced(k, zi_m, d, d_bits)
-        return k.mul(shifted, k.mul(pwi, jnp.broadcast_to(zi_off, pwi.shape)))
+        pwi_off = jax.lax.optimization_barrier(
+            k.mul(pwi, jnp.broadcast_to(zi_off, pwi.shape))
+        )
+        return k.mul(shifted, pwi_off)
 
     divide_sharded = shard_map(
         _divide_body, mesh=mesh,

@@ -94,9 +94,7 @@ def make_sharded_prove_core(stark_field, n: int, mesh, axis: str = "shards"):
     """Sharded core: per-column sharded four-step NTT for the LDE plus
     sharded elementwise constraint/mix work (coefficients partitioned over the
     mesh axis; the NTT transposes ride all_to_all over ICI)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..parallel.ntt_sharded import make_sharded_ntt_fns
+    from ..parallel.ntt_sharded import get_sharded_ntt_fns
 
     base = stark_field.base
     kb = get_kernels(base)
@@ -114,10 +112,7 @@ def make_sharded_prove_core(stark_field, n: int, mesh, axis: str = "shards"):
         ops.pack(list(_root_powers_table(base.p, root_inv_n, max(n // 2, 1))))
     )
     n_inv = np.asarray(ops.pack([base.inv(base.from_int(n))])[0])
-    sharded_ntt = make_sharded_ntt_fns(base, 2 * n, mesh, axis)
-
-    elem_spec = [None] * len(kb.elem_axes)
-    shard_vec = NamedSharding(mesh, P(axis, *elem_spec))
+    sharded_fft, _, _, _ = get_sharded_ntt_fns(base, 2 * n, mesh, axis)
 
     @jax.jit
     def core(cols, omega, weights):
@@ -127,16 +122,10 @@ def make_sharded_prove_core(stark_field, n: int, mesh, axis: str = "shards"):
         t1 = kb.sub(kb.scale_base(tp[0], jnp.broadcast_to(omega, tp[0].shape)), tp[1])
         t3 = kb.sub(kb.sub(tp[2], tp[0]), tp[1])
         allc = jnp.concatenate([tp, t1[None], t1[None], t3[None]], axis=0)
-        # sharded LDE: each constraint polynomial through the four-step NTT
-        ldes = []
-        for i in range(allc.shape[0]):
-            coeffs = allc[i]
-            pad = jnp.zeros_like(coeffs)
-            padded = jax.lax.with_sharding_constraint(
-                jnp.concatenate([coeffs, pad], axis=0), shard_vec
-            )
-            ldes.append(sharded_ntt(padded))
-        lde = jnp.stack(ldes, axis=0)
+        # sharded LDE: the whole constraint batch through one four-step NTT
+        # (all_to_all transposes over ICI)
+        pad = jnp.zeros_like(allc)
+        lde = sharded_fft(jnp.concatenate([allc, pad], axis=1))
         mixed = mix_columns(kb, allc, weights)
         folded = fold_even_odd(kb, mixed, weights[1])
         return lde, mixed, folded

@@ -121,8 +121,15 @@ def _efflen_device(ke, arr):
 
 
 class DeviceEngine:
-    def __init__(self, config: StarkConfig):
+    def __init__(self, config: StarkConfig, mesh=None, mesh_axis: str = "shards"):
+        """``mesh``: optional jax.sharding.Mesh — when given, the heavy
+        phases (trace iFFT, coset LDE, FRI round FFT/fold/divide/DEEP,
+        Merkle builds) run sharded over its ``mesh_axis`` with XLA
+        collectives over ICI; proof bytes are identical to the single-chip
+        path (tests/test_sharded_engine.py)."""
         self.config = config
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         sf = config.stark_field
         self.kb = get_kernels(sf.base)
         self.ke = get_kernels(sf.extension)
@@ -144,16 +151,41 @@ class DeviceEngine:
         self._last_label = label
 
     # ------------------------------------------------------------------ utils
+    def _ntt(self, n: int):
+        """(fft, ifft, coset_fft, coset_ifft) for size n — sharded over the
+        engine's mesh when one is set and the size splits over it."""
+        base = self.config.stark_field.base
+        if self.mesh is not None:
+            from ..parallel.ntt_sharded import can_shard, get_sharded_ntt_fns
+
+            if can_shard(n, self.mesh.shape[self.mesh_axis]):
+                return get_sharded_ntt_fns(base, n, self.mesh, self.mesh_axis)
+        return get_ntt_fns(base, n)
+
+    def _fri_sharded(self, n: int):
+        """Sharded fold/deep/divide closures for coefficient length n, or
+        None when no mesh is set / the length doesn't split."""
+        if self.mesh is None:
+            return None
+        n_dev = self.mesh.shape[self.mesh_axis]
+        m = n // n_dev if n % n_dev == 0 else 0
+        if m < 2 or m % 2 or m & (m - 1):
+            return None
+        from ..parallel.fri_sharded import get_sharded_fri_fns
+
+        return get_sharded_fri_fns(
+            self.config.stark_field.extension, n, self.mesh, self.mesh_axis
+        )
+
     def _trace_polys(self, trace: DeviceTrace):
         """(width, N) evaluations -> packed (width, N, *elem) coefficients."""
-        base = self.config.stark_field.base
         n = trace.domain_size
         if trace.cols_dev is not None:
             x = trace.cols_dev
         else:
             x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
                 (trace.width, n) + self.kb.elem_axes))
-        _, ifft, _, _ = get_ntt_fns(base, n)
+        _, ifft, _, _ = self._ntt(n)
         return ifft(x)
 
     def _base_to_u64(self, packed) -> np.ndarray:
@@ -187,7 +219,8 @@ class DeviceEngine:
             )
             if self._device_hash_on():
                 trace_tree = PackedMerkleTree(
-                    base, None, cfg.merkle_config, device_vals=rows_dev
+                    base, None, cfg.merkle_config, device_vals=rows_dev,
+                    mesh=self.mesh, mesh_axis=self.mesh_axis,
                 )
             else:
                 trace_tree = PackedMerkleTree(
@@ -216,7 +249,7 @@ class DeviceEngine:
 
         pad = jnp.zeros((total, lde_n - n) + kb.elem_axes, dtype=jnp.uint32)
         padded = jnp.concatenate([all_coeffs, pad], axis=1)
-        _, _, coset_fft, _ = get_ntt_fns(base, lde_n)
+        _, _, coset_fft, _ = self._ntt(lde_n)
         shift_packed = jnp.asarray(kb.pack_scalar(random_shift))
         lde_evals = coset_fft(padded, shift_packed)                # (w+t, 2n, *e)
 
@@ -230,7 +263,8 @@ class DeviceEngine:
             lde_u64 = self._base_to_u64(lde_evals)
             lde_host = np.ascontiguousarray(lde_u64.T).reshape(-1, 1)
         constrain_tree = PackedMerkleTree(
-            base, lde_host, cfg.merkle_config, device_vals=lde_rows_dev
+            base, lde_host, cfg.merkle_config, device_vals=lde_rows_dev,
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
         )
         constrain_trace_commit = constrain_tree.root()
         merlin.add_bytes(constrain_trace_commit)
@@ -289,7 +323,7 @@ class DeviceEngine:
             comp = jnp.moveaxis(a, 1, 0)
         else:                              # (N, 4) -> (4, N)
             comp = jnp.moveaxis(a, 1, 0)
-        fft, _, _, _ = get_ntt_fns(base, domain_size)
+        fft, _, _, _ = self._ntt(domain_size)
         ev = fft(comp)
         return jnp.moveaxis(ev, 0, 1)     # (N, *ext_elem)
 
@@ -307,6 +341,7 @@ class DeviceEngine:
             return PackedMerkleTree(
                 ext, None, self.config.fri_config.merkle_config,
                 device_vals=codeword,
+                mesh=self.mesh, mesh_axis=self.mesh_axis,
             )
         return PackedMerkleTree(
             ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config
@@ -441,7 +476,12 @@ class DeviceEngine:
             if rnd.coeffs.shape[0] == 0:
                 return ext.zero(), ext.zero()
             zp = jnp.asarray(ke.pack_scalar(z))
-            fe, fo = _deep_evals_jit(ke, rnd.coeffs, zp)
+            fns = self._fri_sharded(rnd.coeffs.shape[0])
+            if fns is not None:
+                with self.mesh:
+                    fe, fo = fns["deep"](rnd.coeffs, zp)
+            else:
+                fe, fo = _deep_evals_jit(ke, rnd.coeffs, zp)
             fe_z = ke.unpack(np.asarray(fe)[None])[0]
             fo_z = ke.unpack(np.asarray(fo)[None])[0] if fo is not None else ext.zero()
             return fe_z, fo_z
@@ -457,6 +497,22 @@ class DeviceEngine:
             zp = jnp.asarray(ke.pack_scalar(z))
             ap = jnp.asarray(ke.pack_scalar(alpha))
             dv = jnp.asarray(ke.pack_scalar(deep_value))
+            fns = self._fri_sharded(n0)
+            fns_half = self._fri_sharded(n0 // 2) if fns is not None else None
+            if fns is not None and fns_half is not None:
+                # distributed round: sharded fold (no comms), subtract the
+                # DEEP value at x^0, sharded suffix-sum division (one
+                # collective) — coefficients stay at their natural halved
+                # length (contiguously sharded) instead of fixed padding
+                zinv1 = jnp.asarray(ke.pack_scalar(ext.inv(z)))
+                with self.mesh:
+                    folded = fns["fold"](rnd.coeffs, ap)       # (n0/2, *e)
+                    folded = _sub_head1_jit(ke, folded, dv)
+                    rp = fns_half["divide"](folded, zp, zinv1)  # (n0/2, *e)
+                if rnd.size // 2 < DEVICE_MIN_SIZE:
+                    eff = _efflen_device(ke, rp)
+                    return ke.unpack(np.asarray(rp[:eff]))
+                return rp
             m = n0 // 2 if n0 >= 2 else 1
             zinv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(z), m - 1)))
             rp = _fold_div_jit(ke, rnd.coeffs, zp, ap, dv, zinv)
@@ -671,6 +727,12 @@ def _deep_evals_jit(ke, coeffs, zp):
 
 
 @partial(jax.jit, static_argnums=0)
+def _sub_head1_jit(ke, arr, v0):
+    """arr - v0 on the constant coefficient only."""
+    return jnp.concatenate([ke.sub(arr[0:1], v0[None]), arr[1:]], axis=0)
+
+
+@partial(jax.jit, static_argnums=0)
 def _sub_head2_jit(ke, arr, v0, v1):
     """arr - (v0 + v1*x) on the first two coefficients."""
     return jnp.concatenate(
@@ -706,25 +768,25 @@ def _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv_scale, x2inv_scale):
 @partial(jax.jit, static_argnums=0)
 def _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s):
     """Per-query quotients stacked (Q, n0-2, *elem) plus their effective
-    lengths (Q,). Q is small and static, so the graph is Q copies of the
-    single-query pipeline in one executable."""
-    outs, effs = [], []
-    n0 = pc.shape[0]
-    for qi in range(a_s.shape[0]):
+    lengths (Q,). vmapped over the query axis: ONE copy of the pipeline in
+    the compiled module regardless of Q (the Q-unrolled form cost ~35s of
+    XLA:CPU compile per round at n0=2^10)."""
+
+    def one(a, b, x1, x2, s1, s2):
         num = jnp.concatenate(
-            [ke.sub(pc[0:1], b_s[qi][None]), ke.sub(pc[1:2], a_s[qi][None]), pc[2:]],
+            [ke.sub(pc[0:1], b[None]), ke.sub(pc[1:2], a[None]), pc[2:]],
             axis=0,
         )
-        q1 = synth_div_suffix(ke, num, x1_s[qi], s1_s[qi])
+        q1 = synth_div_suffix(ke, num, x1, s1)
         zpad = jnp.zeros((1,) + tuple(q1.shape[1:]), dtype=jnp.uint32)
         q1 = jnp.concatenate([q1, zpad], axis=0)
-        q2 = synth_div_suffix(ke, q1, x2_s[qi], s2_s[qi])
-        outs.append(q2)
+        q2 = synth_div_suffix(ke, q1, x2, s2)
         flat = q2.reshape(q2.shape[0], -1)
         nz = jnp.any(flat != 0, axis=1)
         idx = jnp.arange(q2.shape[0])
-        effs.append(jnp.max(jnp.where(nz, idx + 1, 0)))
-    return jnp.stack(outs, axis=0), jnp.stack(effs)
+        return q2, jnp.max(jnp.where(nz, idx + 1, 0))
+
+    return jax.vmap(one)(a_s, b_s, x1_s, x2_s, s1_s, s2_s)
 
 
 _powers_jit = jax.jit(powers, static_argnums=(0, 2))

@@ -238,6 +238,10 @@ def _make_passes(field, n: int, root: int):
     interpret = not _on_tpu()
     k1 = _make_pass1_kernel(P, L2, n2)
     k2 = _make_pass2_kernel(P, L1, n1)
+    # The unrolled stage chain holds several block-sized temporaries live at
+    # once; the default 16 MB scoped-vmem budget is too tight for 1-2 MB
+    # blocks (v5e has 128 MB VMEM per core).
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     def pass1(a, tw2_, wpow_):
         batch = a.shape[1]
@@ -255,6 +259,7 @@ def _make_passes(field, n: int, root: int):
             ],
             out_specs=pl.BlockSpec((nl, 1, n2, TL), lambda b, t: (0, b, 0, t),
                                    memory_space=pltpu.VMEM),
+            compiler_params=cparams,
             interpret=interpret,
         )(a, tw2_, wpow_)
 
@@ -272,10 +277,10 @@ def _make_passes(field, n: int, root: int):
             ],
             out_specs=pl.BlockSpec((nl, 1, n1, TL), lambda b, t: (0, b, 0, t),
                                    memory_space=pltpu.VMEM),
+            compiler_params=cparams,
             interpret=interpret,
         )(c, tw1_)
 
-    @jax.jit
     def transform(xp, tw1_, tw2_, wpow_, rev1_, rev2_):
         batch = xp.shape[1]
         a = xp.reshape(nl, batch, n2, n1)[:, :, rev2_, :]
@@ -291,7 +296,12 @@ def _make_passes(field, n: int, root: int):
 
 def make_pallas_ntt_fns(field, n: int):
     """(fft, ifft, coset_fft, coset_ifft) matching ops/ntt_device signatures:
-    (batch, n[, limbs]) interleaved uint32 arrays, natural order."""
+    (batch, n[, limbs]) interleaved uint32 arrays, natural order.
+
+    Each entry point is ONE jitted computation end to end (layout conversion,
+    coset scaling, both Pallas passes): stray eager ops cost a tunnel
+    dispatch each in this environment, which dwarfed the kernels themselves
+    (~4 ms per eager moveaxis vs ~26 us per Pallas pass at 2^20)."""
     assert supports(n), f"pallas four-step unsupported for n={n}"
     ops = _field_ops(field)
     P = _Planar(field)
@@ -313,26 +323,36 @@ def make_pallas_ntt_fns(field, n: int):
         return jnp.moveaxis(y, 0, -1)       # (batch, n, 2)
 
     @jax.jit
-    def _scale_n_inv(y, n_inv_):
+    def _fft(x):
+        return from_planar(fwd(to_planar(x)))
+
+    @jax.jit
+    def _ifft(x, n_inv_):
+        y = from_planar(inv(to_planar(x)))
         return ops.mul(y, jnp.broadcast_to(n_inv_, y.shape))
 
     @jax.jit
-    def _coset_scale(x, offset):
+    def _coset_fft(x, offset):
         pw = _powers(ops, offset, x.shape[1])
-        return ops.mul(x, pw[None])
+        return from_planar(fwd(to_planar(ops.mul(x, pw[None]))))
+
+    @jax.jit
+    def _coset_ifft(x, offset_inv, n_inv_):
+        y = from_planar(inv(to_planar(x)))
+        y = ops.mul(y, jnp.broadcast_to(n_inv_, y.shape))
+        pw = _powers(ops, offset_inv, x.shape[1])
+        return ops.mul(y, pw[None])
 
     def fft(x):
-        return from_planar(fwd(to_planar(x)))
+        return _fft(x)
 
     def ifft(x):
-        y = from_planar(inv(to_planar(x)))
-        return _scale_n_inv(y, n_inv_packed)
+        return _ifft(x, n_inv_packed)
 
     def coset_fft(x, offset):
-        return fft(_coset_scale(x, offset))
+        return _coset_fft(x, offset)
 
     def coset_ifft(x, offset_inv):
-        y = ifft(x)
-        return _coset_scale(y, offset_inv)
+        return _coset_ifft(x, offset_inv, n_inv_packed)
 
     return fft, ifft, coset_fft, coset_ifft

@@ -11,6 +11,8 @@ the native C++ engine (tests/test_ops_sha256.py).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,31 +98,58 @@ sha256_blocks_jit = jax.jit(sha256_blocks)
 # Message = 64 bytes (two digests) -> block0 = the digests, block1 = padding.
 # ---------------------------------------------------------------------------
 
-_PAD_BLOCK_64 = np.zeros(16, dtype=np.uint32)
-_PAD_BLOCK_64[0] = 0x80000000
-_PAD_BLOCK_64[15] = 512  # message length in bits
+def _pad_block(msg_bytes: int) -> np.ndarray:
+    """Final all-padding SHA-256 block for a block-aligned message length."""
+    assert msg_bytes % 64 == 0
+    blk = np.zeros(16, dtype=np.uint32)
+    blk[0] = 0x80000000
+    blk[15] = msg_bytes * 8  # message length in bits
+    return blk
+
+
+_PAD_BLOCK_64 = _pad_block(64)
+
+
+def _inner_level(digests, fan_in: int):
+    """One Merkle level, traceable: (n, 8) words -> (n // fan_in, 8) parents.
+    Message = fan_in concatenated digests (fan_in//2 data blocks + padding),
+    matching the reference's inner-node hashing (src/merkle.rs:81-148) for
+    any power-of-two fan_in."""
+    n = digests.shape[0]
+    groups = digests.reshape(n // fan_in, fan_in // 2, 16)
+    pad = jnp.broadcast_to(
+        jnp.asarray(_pad_block(fan_in * 32)), (n // fan_in, 1, 16)
+    )
+    msgs = jnp.concatenate([groups, pad], axis=1)
+    return sha256_blocks(msgs)
 
 
 @jax.jit
 def merkle_inner_level2(digests):
     """digests: (n, 8) uint32 (big-endian words) -> (n//2, 8) parents."""
-    n = digests.shape[0]
-    pairs = digests.reshape(n // 2, 16)
-    pad = jnp.broadcast_to(jnp.asarray(_PAD_BLOCK_64), (n // 2, 16))
-    msgs = jnp.stack([pairs, pad], axis=1)
-    return sha256_blocks(msgs)
+    return _inner_level(digests, 2)
+
+
+@partial(jax.jit, static_argnums=1)
+def _inner_levels_fused(leaf_digests, fan_in: int):
+    """All upper levels in ONE executable (the level loop unrolls at trace
+    time over static shapes — one dispatch for the whole tree instead of one
+    jit + dispatch per level size)."""
+    levels = []
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        cur = _inner_level(cur, fan_in)
+        levels.append(cur)
+    return jnp.concatenate(levels, axis=0)
 
 
 def merkle_inner_levels_device(leaf_digests, fan_in: int = 2):
     """Build all upper levels on device; returns the concatenated levels as a
     (total, 8) uint32 array (level-by-level order, root last)."""
-    assert fan_in == 2, "device path supports fan-in 2 (the protocol's choice)"
-    levels = []
-    cur = leaf_digests
-    while cur.shape[0] > 1:
-        cur = merkle_inner_level2(cur)
-        levels.append(cur)
-    return jnp.concatenate(levels, axis=0) if levels else leaf_digests[:0]
+    assert fan_in >= 2 and fan_in & (fan_in - 1) == 0, "fan-in must be 2^k"
+    if leaf_digests.shape[0] <= 1:
+        return leaf_digests[:0]
+    return _inner_levels_fused(leaf_digests, fan_in)
 
 
 def digests_to_bytes(digests) -> np.ndarray:

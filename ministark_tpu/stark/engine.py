@@ -55,10 +55,6 @@ from .stark import StarkConfig, StarkProof
 # device path everywhere.
 DEVICE_MIN_SIZE = 1 << 11
 
-# FRI round trees use on-device hashing (no codeword pull) above this size
-# when MINISTARK_DEVICE_HASH=1; below it the native host engine wins (each
-# device shape costs one remote compile, and small pulls are cheap).
-FRI_DEVICE_HASH_MIN = 1 << 17
 
 
 @dataclass
@@ -335,9 +331,11 @@ class DeviceEngine:
 
     def _fri_round_tree(self, codeword) -> PackedMerkleTree:
         ext = self.config.stark_field.extension
-        if self._device_hash_on() and codeword.shape[0] >= FRI_DEVICE_HASH_MIN:
-            # big rounds: hash in HBM; query reads/proof bytes are pulled
-            # individually later (codeword never bulk-transferred)
+        if self._device_hash_on():
+            # hash in HBM; query reads/proof bytes are pulled individually
+            # later (codeword never bulk-transferred). All device rounds
+            # hash on device: the fused level builder (ops/sha256.py
+            # _inner_levels_fused) costs ONE dispatch per tree.
             return PackedMerkleTree(
                 ext, None, self.config.fri_config.merkle_config,
                 device_vals=codeword,
@@ -459,11 +457,7 @@ class DeviceEngine:
             )
         codeword = self._ext_fft(coeffs[: min(size, coeffs.shape[0])], size)
         tree = self._fri_round_tree(codeword)
-        cw = (
-            codeword
-            if (self._device_hash_on() and size >= FRI_DEVICE_HASH_MIN)
-            else np.asarray(codeword)
-        )
+        cw = codeword if self._device_hash_on() else np.asarray(codeword)
         return _FriRoundRepr(
             device=True, ext=ext, ke=self.ke, coeffs=coeffs,
             codeword=cw, tree=tree, size=size,

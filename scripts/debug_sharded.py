@@ -50,7 +50,6 @@ log2_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 import ministark_tpu.stark.engine as eng
 
 eng.DEVICE_MIN_SIZE = 256
-eng.FRI_DEVICE_HASH_MIN = 256
 
 sf = Goldilocks
 steps = (1 << log2_steps) - 1

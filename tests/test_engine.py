@@ -100,7 +100,6 @@ def test_engine_device_hash_identical(monkeypatch):
     import ministark_tpu.stark.engine as eng
 
     monkeypatch.setattr(eng, "DEVICE_MIN_SIZE", 8)
-    monkeypatch.setattr(eng, "FRI_DEVICE_HASH_MIN", 8)
     ref = _device_proof(Goldilocks, 61)
     monkeypatch.setenv("MINISTARK_DEVICE_HASH", "1")
     dev = _device_proof(Goldilocks, 61)

@@ -50,7 +50,6 @@ def test_sharded_prove_byte_equal_device_hash(monkeypatch):
     import ministark_tpu.stark.engine as eng
 
     monkeypatch.setattr(eng, "DEVICE_MIN_SIZE", 256)
-    monkeypatch.setattr(eng, "FRI_DEVICE_HASH_MIN", 256)
     sf = Goldilocks
     steps = (1 << 10) - 1
     single = _prove(sf, steps)

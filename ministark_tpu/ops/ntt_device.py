@@ -346,9 +346,17 @@ def make_ntt_fns(field, n: int):
     forces it on/off (the build is cached per (field, n): set the env var
     before the first transform of that size).
     """
-    from . import ntt_pallas
+    from . import ntt_mxu, ntt_pallas
 
-    env = __import__("os").environ.get("MINISTARK_PALLAS")
+    environ = __import__("os").environ
+    env_mxu = environ.get("MINISTARK_MXU")
+    use_mxu = (
+        ntt_mxu.supports(n) and n >= FOUR_STEP_MIN
+        and (env_mxu == "1" or (env_mxu != "0" and ntt_pallas._on_tpu()))
+    )
+    if use_mxu:
+        return ntt_mxu.make_mxu_ntt_fns(field, n)
+    env = environ.get("MINISTARK_PALLAS")
     use_pallas = ntt_pallas.supports(n) and (
         env == "1" or (env != "0" and ntt_pallas._on_tpu())
     )

@@ -1,0 +1,405 @@
+"""MXU (systolic-array) NTT: small DFTs as exact int8 matmuls.
+
+The TPU's MXU does s8 x s8 -> s32 matmuls at ~40x the VPU's elementwise
+throughput (~300 TMAC/s measured on v5e), so the fastest TPU NTT maps the
+FLOPs onto it instead of doing butterfly stages on the VPU (the
+jaxite/TFHE-on-TPU recipe, re-derived for 64-bit Goldilocks):
+
+* factor n into F1*...*Fk with every F <= 512 and apply the four-step
+  decomposition recursively (one inter-level twiddle per split);
+* each length-F NTT is ONE integer matmul: the input is split into NA
+  balanced signed bytes x = sum_a d_a 256^a (d_a in [-128, 127]; the
+  truncating u32->s8 cast of byte+carry IS the digit), and the DFT matrix
+  is pre-scaled per digit, V^(a)[m, k] = root^(m*k) * 256^a mod p, each
+  entry decomposed into NB balanced signed bytes:
+
+    NTT(x)[k] = sum_b 2^(8b) * R_b[k]  (mod p),
+    R[g, (b, k)] = sum_{a, m} d[a, g, m] * Vd[a, m, (b, k)]
+
+  i.e. one (NA, G, F) x (NA, F, NB*F) s8 dot_general with s32 accumulation.
+  Exact: |R_b| <= F * NA * 128 * 128 < 2^27 for F <= 512;
+* the mod-p recombination sum_b R_b 2^(8b) runs on the VPU in uint32 word
+  ops (offset to non-negative, byte-shift accumulate into three 32-bit
+  words, one Goldilocks 96-bit reduction);
+* inter-level twiddles W[i1, k2] = root^(i1*k2) are generated on device
+  (ops/ntt_device._twiddle_matrix) and applied elementwise.
+
+Layout rules (each worth 2-4x, measured on v5e through the HLO profiler):
+* limb-PLANAR everywhere: a field array is a tuple of u32 word planes; a
+  trailing (..., 2) limb axis forces an (8, 128)-tile relayout on every
+  slice/stack/transpose. Conversion only at the public boundary.
+* NO explicit transposes between levels: x is reshaped once to
+  (B, F1, ..., Fk) and every level contracts ITS axis in place via
+  dot_general (the operand transpose rides the MXU feed); frequency axes
+  accumulate to the right and one final axis-reversing transpose restores
+  natural order.
+* digits stack on a new LEADING axis (pure concatenation, no interleave),
+  and an optimization_barrier fences the stack from the dot -- without it
+  XLA splits the dot into NA partial dots, each streaming the full s32
+  accumulator through HBM (measured 16 x 0.47 ms at 2^21).
+* per-digit matmul output planes are CONTIGUOUS column slices (b*F + k
+  column order).
+
+Result at n = 2^21, batch 2, Goldilocks on one v5e: ~3.2 ms device time
+(~1.2 ms MXU, the rest VPU recombine/twiddle) vs ~13 ms for the VPU
+butterfly Pallas kernels and ~16 ms for the XLA four-step.
+
+Bit-exact with ops/ntt_device.get_ntt_fns and the host oracle
+(tests/test_ntt_mxu.py). Reference hot spot this accelerates: ark-poly
+fft/ifft used at /root/reference/src/air.rs:147-160, src/starks.rs:82-91,
+src/fri.rs:345-352.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bb as bb_ops
+from . import gl as gl_ops
+from .ntt_device import _field_ops, _powers, _twiddle_matrix
+from .u32 import U32
+
+F_MAX = 512          # largest single-matmul DFT (log2 in [5, 9])
+F_PREF = 8           # preferred log2 factor (256): small host tables
+
+
+# ---------------------------------------------------------------------------
+# Per-field digit parameters
+# ---------------------------------------------------------------------------
+
+
+def _params(p: int):
+    """(limbs, NA input byte digits, NB matrix byte digits) for modulus p."""
+    if p == gl_ops.P:
+        return 2, 9, 9      # 64-bit values: 9 balanced signed bytes each way
+    if p == bb_ops.P:
+        return 1, 5, 5      # 31-bit values: 5 balanced signed bytes each way
+    raise ValueError(f"no MXU NTT for field modulus {p}")
+
+
+def factorize(n: int):
+    """log2 factor list for n, each in [5, 9] (prefer <= F_PREF, balanced,
+    descending). None if n unsupported."""
+    L = n.bit_length() - 1
+    if (1 << L) != n or L < 5:
+        return None
+    if L <= 9:
+        return [L]
+    k = -(-L // F_PREF)          # ceil
+    if L < 5 * k:
+        return None              # cannot happen for L >= 10
+    base, rem = divmod(L, k)
+    return [base + 1] * rem + [base] * (k - rem)
+
+
+def supports(n: int) -> bool:
+    return factorize(n) is not None
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction (cached per (p, root, F))
+# ---------------------------------------------------------------------------
+
+
+def _balanced_digits_u64(v: np.ndarray, nd: int) -> np.ndarray:
+    """uint64 array -> (..., nd) int8 balanced base-256 digits."""
+    v = v.astype(np.uint64).copy()
+    out = np.zeros(v.shape + (nd,), dtype=np.int8)
+    for b in range(nd):
+        r = (v & np.uint64(255)).astype(np.int64)
+        neg = r > 127
+        r = np.where(neg, r - 256, r)
+        v = (v >> np.uint64(8)) + neg.astype(np.uint64)
+        out[..., b] = r.astype(np.int8)
+    assert not v.any(), "digit count too small for value range"
+    return out
+
+
+@lru_cache(maxsize=None)
+def _dft_digit_matrix(p: int, root: int, F: int):
+    """(NA*F, NB*F) int8: row (a*F + m), col (b*F + k) holds
+    digit_b(root^(m*k) * 16^a mod p) -- plane-major on both sides so the
+    traced code never interleaves digit and position axes."""
+    _, NA, NB = _params(p)
+    row = np.empty(F, dtype=object)
+    v = 1
+    for k in range(F):
+        row[k] = v
+        v = (v * root) % p
+    tbl = np.empty((F, F), dtype=object)
+    tbl[0] = 1
+    if F > 1:
+        tbl[1] = row
+    for m in range(2, F):
+        tbl[m] = tbl[m - 1] * row % p
+    digs = np.empty((NA, F, F, NB), dtype=np.int8)
+    for a in range(NA):
+        scaled = tbl * pow(256, a, p) % p if a else tbl
+        digs[a] = _balanced_digits_u64(scaled.astype(np.uint64), NB)
+    # (NA, F_m, F_k, NB) -> (NA, F_m, NB, F_k) -> (NA*F, NB*F)
+    return np.transpose(digs, (0, 1, 3, 2)).reshape(NA * F, NB * F)
+
+
+# recombination offset: R_b + OFF must be non-negative;
+# |R_b| <= F*NA*128*128 < 2^27 for F <= 512
+OFF = np.uint32(1 << 27)
+
+
+@lru_cache(maxsize=None)
+def _recombine_const(p: int) -> int:
+    """sum_b OFF * 2^(8b) mod p -- subtracted after the offset accumulate."""
+    _, _, NB = _params(p)
+    return sum(int(OFF) << (8 * b) for b in range(NB)) % p
+
+
+# ---------------------------------------------------------------------------
+# Traced per-stage ops (planar: field arrays are tuples of u32 word planes)
+# ---------------------------------------------------------------------------
+
+
+def _digitize(planes, NA: int):
+    """tuple of u32 planes -> (NA,) + shape int8 balanced byte digits
+    stacked on a NEW LEADING axis (pure concatenation in memory -- no
+    minor-axis interleave, no relayout).
+
+    x = sum_a d_a 256^a with d_a in [-128, 127]: the truncating u32->s8
+    cast of (byte + carry) IS the balanced digit (two's complement), so
+    each step is add / cast / compare -- no select chain."""
+    c = jnp.zeros_like(planes[0])
+    digs = []
+    for w in planes:
+        for i in range(4):
+            t = ((w >> np.uint32(8 * i)) & np.uint32(255)) + c
+            digs.append(t.astype(jnp.int8))
+            c = (t > np.uint32(127)).astype(U32)
+    digs.append(c.astype(jnp.int8))
+    assert len(digs) == NA
+    return jnp.stack(digs, axis=0)
+
+
+def _addc(a, b):
+    s = a + b
+    return s, (s < a).astype(U32)
+
+
+def _accum_words(us):
+    """Y = sum_b us[b] * 2^(8b) for us[b] < 2^28 -> three u32 words
+    (Y < 2^28 * 2^64 * 256/255 < 2^96)."""
+    zero = jnp.zeros_like(us[0])
+    W = [zero, zero, zero]
+    for b, u in enumerate(us):
+        s = (8 * b) % 32
+        j = (8 * b) // 32
+        lo = (u << np.uint32(s)) if s else u
+        hi = (u >> np.uint32(32 - s)) if s else None
+        W[j], c = _addc(W[j], lo)
+        if j + 1 < 3:
+            add_hi = (hi + c) if hi is not None else c
+            W[j + 1], c2 = _addc(W[j + 1], add_hi)
+            if j + 2 < 3:
+                W[j + 2] = W[j + 2] + c2
+    return W
+
+
+def _digit_planes(R, NB: int, F: int):
+    """(..., NB*F) i32 matmul output -> NB offset u32 planes (..., F)
+    (contiguous slices -- no strided gather)."""
+    return [
+        (R[..., b * F:(b + 1) * F] + jnp.int32(OFF)).astype(U32)
+        for b in range(NB)
+    ]
+
+
+def _recombine_gl(R, NB: int, F: int, kc: tuple):
+    """(..., NB*F) i32 -> ((..., F) lo, hi) canonical Goldilocks planes."""
+    W0, W1, W2 = _accum_words(_digit_planes(R, NB, F))
+    lo, hi = gl_ops._reduce128(W0, W1, W2, jnp.zeros_like(W2))
+    klo, khi = kc
+    return gl_ops.sub_planar(
+        lo, hi,
+        jnp.broadcast_to(klo, lo.shape), jnp.broadcast_to(khi, hi.shape),
+    )
+
+
+def _red32_bb(w):
+    """u32 -> mod p (p > 2^30, so at most two conditional subtractions)."""
+    P32 = bb_ops.P32
+    w = jnp.where(w >= P32, w - P32, w)
+    return jnp.where(w >= P32, w - P32, w)
+
+
+def _recombine_bb(R, NB: int, F: int, kc):
+    """(..., NB*F) i32 -> ((..., F),) canonical BabyBear plane.
+
+    Y < 2^26 * 2^33 < 2^64: fold with 2^32 / 2^64 residues per word."""
+    W0, W1, W2 = _accum_words(_digit_planes(R, NB, F))
+    p = bb_ops.P
+    t32 = np.uint32((1 << 32) % p)
+    t64 = np.uint32((1 << 64) % p)
+    r0 = _red32_bb(W0)
+    r1 = bb_ops.mul(_red32_bb(W1), jnp.broadcast_to(t32, W1.shape))
+    r2 = bb_ops.mul(_red32_bb(W2), jnp.broadcast_to(t64, W2.shape))
+    y = bb_ops.add(bb_ops.add(r0, r1), r2)
+    return (bb_ops.sub(y, jnp.broadcast_to(np.uint32(kc), y.shape)),)
+
+
+def _ntt_axis1(planes, Vd, NA: int, NB: int, kc):
+    """Length-F DFT over AXIS 1 of each (B, F, rest...) plane, contracted in
+    place by dot_general (the operand transpose rides the MXU feed -- no
+    explicit relayout). Output planes are (B, rest..., F) with the new
+    frequency axis MINOR; across levels the k-axes accumulate to the right.
+
+    Vd: (NA, F, NB*F)."""
+    F = Vd.shape[1]
+    d = _digitize(planes, NA)                         # (NA, B, F, rest...)
+    # fence: without it XLA splits the dot along the stacked digit axis into
+    # NA partial dots, each streaming the full s32 accumulator through HBM
+    d = jax.lax.optimization_barrier(d)
+    R = jax.lax.dot_general(
+        d, Vd, (((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                 # (B, rest..., NB*F)
+    if len(planes) == 2:
+        return _recombine_gl(R, NB, F, kc)
+    return _recombine_bb(R, NB, F, kc)
+
+
+def _mul_planes(planes, w_planes):
+    """Elementwise field multiply of plane tuples (w broadcasts)."""
+    if len(planes) == 2:
+        wl = jnp.broadcast_to(w_planes[0], planes[0].shape)
+        wh = jnp.broadcast_to(w_planes[1], planes[1].shape)
+        return gl_ops.mul_planar(planes[0], planes[1], wl, wh)
+    return (bb_ops.mul(planes[0], jnp.broadcast_to(w_planes[0], planes[0].shape)),)
+
+
+# ---------------------------------------------------------------------------
+# Full transform: recursive four-step over the factor list
+# ---------------------------------------------------------------------------
+
+
+def _mxu_core(planes, factors, v_mats, tws, NA, NB, kc):
+    """planes: tuple of (B, n) u32 planes, natural order -> NTT planes.
+
+    Recursive four-step (i = i1 + M*i2, k = k2 + F*k1):
+      X[k2 + F*k1] = sum_i1 w1^(i1*k1) [w^(i1*k2) sum_i2 x[i1+M*i2] w2^(i2*k2)]
+    flattened into one loop over factors: reshape x to (B, F1, ..., Fk)
+    (axis j = level-j decimation index), contract each level's axis in
+    place with _ntt_axis1, apply that level's twiddle (tables pre-shaped to
+    the surviving axes), and finish with ONE axis-reversing transpose
+    (frequency index k = K1 + F1*(K2 + F2*(...)) => natural order is
+    (Kk, ..., K1) row-major)."""
+    B = planes[0].shape[0]
+    n = planes[0].shape[1]
+    Fs = [1 << lf for lf in factors]
+    k = len(Fs)
+    planes = tuple(t.reshape((B,) + tuple(Fs)) for t in planes)
+    for lvl in range(k):
+        planes = _ntt_axis1(planes, v_mats[lvl], NA, NB, kc)
+        if tws[lvl] is not None:
+            planes = _mul_planes(planes, tuple(w[None] for w in tws[lvl]))
+        # fence the level: chained fused field muls re-execute producers
+        planes = tuple(jax.lax.optimization_barrier(t) for t in planes)
+    perm = (0,) + tuple(range(k, 0, -1))
+    return tuple(jnp.transpose(t, perm).reshape(B, n) for t in planes)
+
+
+def _build_tables(field, n: int, root: int):
+    """Device tables for one direction: (factors, v_mats, twiddle planes).
+
+    v_mats[i]: (NA, F_i, NB*F_i) digit matrix. tws[i]: plane tuple shaped
+    (F_{i+1}, ..., F_{k-1}) + (1,)*i + (F_i,) -- the level-i twiddle
+    w^(i1*K) laid out over the axes that survive level i (the (1,)*i block
+    broadcasts over the already-produced K_0..K_{i-1} axes)."""
+    ops = _field_ops(field)
+    p = field.p
+    limbs, NA, NB = _params(p)
+    factors = factorize(n)
+    Fs = [1 << lf for lf in factors]
+    v_mats, tws = [], []
+    rem = n
+    r = root
+    for i, F in enumerate(Fs):
+        M = rem // F
+        root_f = pow(r, M, p)                 # w2 = w^M, order F
+        vd = _dft_digit_matrix(p, root_f, F)
+        v_mats.append(jnp.asarray(vd.reshape(NA, F, NB * F)))
+        if i < len(Fs) - 1:
+            r_packed = jnp.asarray(ops.pack([r])[0])
+            W = jax.jit(
+                lambda rp, M=M, F=F: _twiddle_matrix(ops, rp, M, F)
+            )(r_packed)                       # (M, F[, limbs]) interleaved
+            ts = tuple(Fs[i + 1:]) + (1,) * i + (F,)
+            if limbs == 2:
+                tws.append((W[..., 0].reshape(ts), W[..., 1].reshape(ts)))
+            else:
+                tws.append((W.reshape(ts),))
+            r = pow(r, F, p)                  # w1 = w^F, order M
+        else:
+            tws.append(None)
+        rem = M
+    return factors, v_mats, tws
+
+
+def make_mxu_ntt_fns(field, n: int):
+    """(fft, ifft, coset_fft, coset_ifft) matching ops/ntt_device signatures:
+    (batch, n[, limbs]) uint32 arrays, natural order in and out."""
+    assert supports(n), f"MXU NTT unsupported for n={n}"
+    ops = _field_ops(field)
+    p = field.p
+    limbs, NA, NB = _params(p)
+    root = int(field.get_root_of_unity(n))
+    root_inv = int(field.inv(root))
+    n_inv = int(field.inv(field.from_int(n)))
+
+    factors, v_f, tw_f = _build_tables(field, n, root)
+    _, v_i, tw_i = _build_tables(field, n, root_inv)
+    if limbs == 2:
+        kp = gl_ops.pack([_recombine_const(p)])[0]
+        kc = (jnp.asarray(kp[0]), jnp.asarray(kp[1]))
+        nip = gl_ops.pack([n_inv])[0]
+        n_inv_planes = (jnp.asarray(nip[0]), jnp.asarray(nip[1]))
+    else:
+        kc = int(_recombine_const(p))
+        n_inv_planes = (jnp.asarray(np.uint32(n_inv)),)
+
+    def to_planes(x):
+        if limbs == 2:
+            return (x[..., 0], x[..., 1])
+        return (x,)
+
+    def from_planes(planes):
+        if limbs == 2:
+            return jnp.stack(planes, axis=-1)
+        return planes[0]
+
+    def core(planes, v, tw):
+        return _mxu_core(planes, factors, v, tw, NA, NB, kc)
+
+    @jax.jit
+    def fft(x):
+        return from_planes(core(to_planes(x), v_f, tw_f))
+
+    @jax.jit
+    def ifft(x):
+        y = core(to_planes(x), v_i, tw_i)
+        return from_planes(_mul_planes(y, n_inv_planes))
+
+    @jax.jit
+    def coset_fft(x, offset):
+        pw = _powers(ops, offset, n)          # (n[, limbs]) interleaved
+        xs = _mul_planes(to_planes(x), to_planes(pw[None]))
+        return from_planes(core(xs, v_f, tw_f))
+
+    @jax.jit
+    def coset_ifft(x, offset_inv):
+        y = core(to_planes(x), v_i, tw_i)
+        y = _mul_planes(y, n_inv_planes)
+        pw = _powers(ops, offset_inv, n)
+        return from_planes(_mul_planes(y, to_planes(pw[None])))
+
+    return fft, ifft, coset_fft, coset_ifft

@@ -1,0 +1,88 @@
+"""MXU (int8-matmul) NTT: bit-exact vs the XLA device NTT (which is itself
+equivalence-tested against the host oracle). The s8 dot_general runs
+emulated on the CPU test backend — identical integer semantics, no TPU
+needed. Covers 1-, 2- and 3-level factorizations and both fields."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ministark_tpu.fields import BABYBEAR_FP, GOLDILOCKS_FP
+from ministark_tpu.ops import bb, gl
+from ministark_tpu.ops.ntt_device import make_ntt_fns
+from ministark_tpu.ops.ntt_mxu import factorize, make_mxu_ntt_fns, supports
+
+
+def _rand_gl(batch, n, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64)
+    out = np.zeros((batch, n, 2), dtype=np.uint32)
+    out[..., 0] = vals & 0xFFFFFFFF
+    out[..., 1] = vals >> 32
+    return jnp.asarray(out)
+
+
+def _rand_bb(batch, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, bb.P, size=(batch, n), dtype=np.uint32))
+
+
+def test_supports_and_factorize():
+    assert supports(1 << 5) and supports(1 << 14) and supports(1 << 24)
+    assert not supports(1 << 4) and not supports(48)
+    assert factorize(1 << 9) == [9]
+    assert factorize(1 << 21) == [7, 7, 7]
+    assert factorize(1 << 13) == [7, 6]
+    assert all(5 <= f <= 9 for L in range(5, 27) for f in factorize(1 << L))
+    assert all(sum(factorize(1 << L)) == L for L in range(5, 27))
+
+
+@pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
+                                        (BABYBEAR_FP, _rand_bb)])
+@pytest.mark.parametrize("n", [1 << 5, 1 << 9, 1 << 13, 1 << 15])
+def test_fft_matches_device_ntt(field, rand, n):
+    x = rand(2, n)
+    ref_fns = make_ntt_fns(field, n)
+    mxu_fns = make_mxu_ntt_fns(field, n)
+    assert np.array_equal(np.asarray(mxu_fns[0](x)), np.asarray(ref_fns[0](x)))
+    assert np.array_equal(np.asarray(mxu_fns[1](x)), np.asarray(ref_fns[1](x)))
+
+
+@pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
+                                        (BABYBEAR_FP, _rand_bb)])
+def test_ifft_roundtrip(field, rand):
+    n = 1 << 13
+    x = rand(1, n, seed=3)
+    fft, ifft, _, _ = make_mxu_ntt_fns(field, n)
+    assert np.array_equal(np.asarray(ifft(fft(x))), np.asarray(x))
+
+
+def test_extreme_values_gl():
+    """All-(p-1) and small-constant inputs exercise digit carries end to
+    end (every byte 0xFF -> maximal balanced-digit carry chain)."""
+    n = 1 << 10
+    top = np.full((1, n), gl.P - 1, dtype=np.uint64)
+    x = jnp.asarray(gl.pack(top))
+    ref_fns = make_ntt_fns(GOLDILOCKS_FP, n)
+    mxu_fns = make_mxu_ntt_fns(GOLDILOCKS_FP, n)
+    assert np.array_equal(np.asarray(mxu_fns[0](x)), np.asarray(ref_fns[0](x)))
+
+
+@pytest.mark.parametrize("field,rand,ops", [
+    (GOLDILOCKS_FP, _rand_gl, gl), (BABYBEAR_FP, _rand_bb, bb)])
+def test_coset_matches_device_ntt(field, rand, ops):
+    n = 1 << 13
+    x = rand(1, n, seed=5)
+    shift = field.from_int(7)
+    if ops is gl:
+        off = jnp.asarray(gl.pack([shift])[0])
+        off_inv = jnp.asarray(gl.pack([field.inv(shift)])[0])
+    else:
+        off = jnp.asarray(np.uint32(int(shift)))
+        off_inv = jnp.asarray(np.uint32(int(field.inv(shift))))
+    ref = make_ntt_fns(field, n)
+    mxu = make_mxu_ntt_fns(field, n)
+    assert np.array_equal(np.asarray(mxu[2](x, off)), np.asarray(ref[2](x, off)))
+    assert np.array_equal(
+        np.asarray(mxu[3](mxu[2](x, off), off_inv)), np.asarray(x)
+    )

@@ -42,13 +42,17 @@ def _field():
 def device_prove(steps):
     import jax.numpy as jnp
 
+    from ministark_tpu.models.counter import counter_device_trace
     from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
     from ministark_tpu.stark import StarkConfig
     from ministark_tpu.stark.engine import DeviceEngine
 
     sf = _field()
     on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
-    dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
+    if os.environ.get("BENCH_MODEL", "fibonacci") == "counter":
+        dtrace = counter_device_trace(sf, steps, on_device=on_dev)
+    else:
+        dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
     cfg = StarkConfig(sf, 20, 2, steps, dtrace.constrain_number())
     engine = DeviceEngine(cfg)
 
@@ -69,6 +73,7 @@ def device_prove(steps):
 
 def host_prove(steps):
     from ministark_tpu.models import FibonacciClaim, Witness
+    from ministark_tpu.models.counter import CounterClaim
     from ministark_tpu.ops import set_device_enabled
     from ministark_tpu.stark import Stark, StarkConfig
 
@@ -76,8 +81,12 @@ def host_prove(steps):
     set_device_enabled(False)
     try:
         base = sf.base
-        claim = FibonacciClaim(field=base, step=steps, output=base.from_int(13))
-        witness = Witness(secret_b=base.from_int(2))
+        if os.environ.get("BENCH_MODEL", "fibonacci") == "counter":
+            claim = CounterClaim(field=base, steps=steps)
+            witness = None
+        else:
+            claim = FibonacciClaim(field=base, step=steps, output=base.from_int(13))
+            witness = Witness(secret_b=base.from_int(2))
         trace = claim.trace(witness)
         cfg = StarkConfig(sf, 20, 2, steps, trace.constrain_number())
         stark = Stark(cfg)
@@ -117,11 +126,29 @@ def main():
     t_host_extrapolated = t_host * scale
     vs_baseline = t_host_extrapolated / t_prove
 
+    # per-kernel roofline fractions (VERDICT r1 item 6: the BASELINE metric,
+    # driver-visible alongside e2e rows/s). Skippable for tight budgets.
+    kernels = {}
+    if os.environ.get("BENCH_SKIP_KERNELS") != "1":
+        try:
+            from bench_kernels import kernel_rooflines
+
+            for r in kernel_rooflines():
+                entry = {"value": r["value"], "unit": r["unit"]}
+                if "roofline_frac" in r:
+                    entry["roofline_frac"] = r["roofline_frac"]
+                kernels[r["metric"]] = entry
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# kernel roofline measurement failed: {e}", file=sys.stderr)
+
+    model = os.environ.get("BENCH_MODEL", "fibonacci")
+    tag = "fib" if model == "fibonacci" else model
     print(json.dumps({
-        "metric": f"e2e_prove_rows_per_s_fib{steps}_" + os.environ.get("BENCH_FIELD", "goldilocks"),
+        "metric": f"e2e_prove_rows_per_s_{tag}{steps}_" + os.environ.get("BENCH_FIELD", "goldilocks"),
         "value": round(rows_per_s, 1),
         "unit": "rows/s",
         "vs_baseline": round(vs_baseline, 2),
+        "kernels": kernels,
     }))
     print(
         f"# prove {t_prove:.2f}s | verify {t_verify if t_verify is None else round(t_verify, 2)}s | "

@@ -2,11 +2,17 @@
 
 Measures steady-state device throughput for the hot kernels (BASELINE.md:
 "LDE-NTT and FRI folding >= 80% of per-chip roofline") and prints one JSON
-line per kernel. Roofline model: these kernels are HBM-bandwidth-bound —
+line per kernel. Roofline model: these kernels are HBM-bandwidth-bound --
 bytes moved per transform / measured time vs the chip's peak bandwidth
 (TPU v5e ~819 GB/s).
 
-Run on TPU (default backend) or CPU (JAX_PLATFORMS=cpu) — absolute numbers
+Measurement method: K data-dependent iterations inside ONE jit
+(lax.fori_loop threading the output back as input), timed around a single
+dispatch. This excludes the per-call tunnel/dispatch latency of this
+environment (~5-10 ms swings) that a naive per-call loop would count; it is
+the number the HLO profiler corroborates (see BENCHMARKS.md).
+
+Run on TPU (default backend) or CPU (JAX_PLATFORMS=cpu) -- absolute numbers
 only mean something on the TPU.
 """
 
@@ -30,21 +36,25 @@ import numpy as np
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))
 
 
-def _time(fn, *args, iters=5):
-    """Chained timing: feed each iteration's output back as the first
-    argument so executions serialize (identical async replays overlap and
-    overstate throughput)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    cur = args[0]
-    for _ in range(iters):
-        cur = fn(cur, *args[1:]) if len(args) > 1 else fn(cur)
-    jax.block_until_ready(cur)
-    return (time.time() - t0) / iters
+def _time_chained(fn, x, iters=16):
+    """Time per iteration of x -> fn(x) chained inside one jit (one dispatch,
+    data-dependent iterations -- XLA cannot elide or overlap them)."""
+    import jax.lax as lax
+
+    chain = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, u: fn(u), v))
+    y = chain(x)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        y = chain(y)
+        jax.block_until_ready(y)
+        best = min(best, (time.time() - t0) / iters)
+    return best
 
 
-def main():
+def kernel_rooflines():
+    """Measure the hot kernels; returns a list of result dicts."""
     from ministark_tpu.fields import GOLDILOCKS_FP, GOLDILOCKS_FP2
     from ministark_tpu.ops import gl
     from ministark_tpu.ops.ntt_device import get_ntt_fns
@@ -57,26 +67,27 @@ def main():
     # --- Goldilocks elementwise multiply (VPU) ---
     n = 1 << 22
     a = jnp.asarray(gl.pack(rng.integers(0, 1 << 62, size=n, dtype=np.uint64)))
-    mul = jax.jit(gl.mul)
-    t = _time(mul, a, a)
+    t = _time_chained(lambda v: gl.mul(v, a), a)
     results.append({
         "metric": "gl_mul_throughput", "value": round(n / t / 1e9, 2),
         "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
     })
 
-    # --- LDE-NTT (the headline kernel) ---
+    # --- LDE-NTT (the headline kernel; MXU int8-matmul path on TPU) ---
     for logn in (20, 21):
         m = 1 << logn
         batch = 2
-        x = jnp.asarray(gl.pack(rng.integers(0, 1 << 62, size=(batch, m), dtype=np.uint64)))
+        x = jnp.asarray(gl.pack(
+            rng.integers(0, 1 << 62, size=(batch, m), dtype=np.uint64)))
         fft, _, _, _ = get_ntt_fns(GOLDILOCKS_FP, m)
-        t = _time(fft, x)
-        # four-step: ~8 contiguous HBM passes (2 small-NTT passes + 2
-        # transposes + twiddle, read+write each)
+        t = _time_chained(fft, x)
+        # roofline model: ~4 read+write passes of the array (prep, two
+        # matmul levels' operands, finish) = 64 B/element
         bytes_moved = batch * m * 8 * 8
         results.append({
-            "metric": f"gl_ntt_2^{logn}_batch{batch}", "value": round(t * 1e3, 2),
-            "unit": "ms", "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+            "metric": f"gl_ntt_2^{logn}_batch{batch}",
+            "value": round(t * 1e3, 2), "unit": "ms",
+            "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
         })
 
     # --- FRI fold (ext field) ---
@@ -88,18 +99,22 @@ def main():
     alpha = jnp.asarray(ke.pack_scalar((12345, 67890)))
     fold = jax.jit(fold_even_odd, static_argnums=0)
 
-    def fold_step(al, c):
-        out = fold(ke, c, al)
-        return out[0]  # chain the dependency through alpha (stable shapes)
+    def fold_step(c):
+        half = fold(ke, c, alpha)
+        return jnp.concatenate([half, half], axis=0)  # keep shape chainable
 
-    t = _time(fold_step, alpha, coeffs)
+    t = _time_chained(fold_step, coeffs)
     bytes_moved = m * 16 + (m // 2) * 16
     results.append({
         "metric": "fri_fold_2^21_fp2", "value": round(t * 1e3, 2),
-        "unit": "ms", "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+        "unit": "ms",
+        "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
     })
+    return results
 
-    for r in results:
+
+def main():
+    for r in kernel_rooflines():
         print(json.dumps(r))
 
 

@@ -54,7 +54,48 @@ class CounterClaim(Provable):
         return trace
 
 
-def counter_device_trace(stark_field, steps: int, start=1, step=3, a=5, b=7):
+def _counter_cols_on_device(stark_field, steps, start, step, a, b):
+    """TPU-native witness generation: the counter trace is closed-form
+    (col0[i] = start + i*step, col1[i] = a*col0[i] + b), so the whole
+    witness is a few broadcast field ops over jnp.arange — no host loop,
+    no host->device upload."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.registry import get_kernels
+    from ..poly import Radix2EvaluationDomain
+    from ..utils.rng import ark_test_rng
+
+    base = stark_field.base
+    kb = get_kernels(base)
+    n = Radix2EvaluationDomain(base, steps + 1).size()
+
+    start_p = kb.pack_scalar(base.from_int(start))
+    step_p = kb.pack_scalar(base.from_int(step))
+    a_p = kb.pack_scalar(base.from_int(a))
+    b_p = kb.pack_scalar(base.from_int(b))
+    pad_p = kb.pack_scalar(base.rand(ark_test_rng()))
+
+    @jax.jit
+    def gen():
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        if kb.elem_axes:  # limbed field: i < 2^32 packs as (lo=i, hi=0)
+            idx_packed = jnp.stack([idx, jnp.zeros_like(idx)], axis=-1)
+        else:
+            idx_packed = idx
+        bc = lambda s, like: jnp.broadcast_to(jnp.asarray(s), like.shape)
+        col0 = kb.add(bc(start_p, idx_packed),
+                      kb.mul(idx_packed, bc(step_p, idx_packed)))
+        col1 = kb.add(kb.mul(col0, bc(a_p, col0)), bc(b_p, col0))
+        cols = jnp.stack([col0, col1], axis=0)
+        keep = (idx < steps).reshape((1, n) + (1,) * len(kb.elem_axes))
+        return jnp.where(keep, cols, bc(pad_p, cols))
+
+    return gen()
+
+
+def counter_device_trace(stark_field, steps: int, start=1, step=3, a=5, b=7,
+                         on_device: bool = False):
     """Array-native variant for stark/engine.py."""
     import jax.numpy as jnp
     import numpy as np
@@ -70,14 +111,18 @@ def counter_device_trace(stark_field, steps: int, start=1, step=3, a=5, b=7):
     n = domain.size()
     p = base.p
 
-    rows = np.empty((n, 2), dtype=np.uint64)
-    x = start % p
-    for i in range(steps):
-        rows[i, 0] = x
-        rows[i, 1] = (a * x + b) % p
-        x = (x + step) % p
-    rows[steps:, :] = base.rand(ark_test_rng())
-    cols = np.ascontiguousarray(rows.T)
+    cols = cols_dev = None
+    if on_device:
+        cols_dev = _counter_cols_on_device(stark_field, steps, start, step, a, b)
+    else:
+        rows = np.empty((n, 2), dtype=np.uint64)
+        x = start % p
+        for i in range(steps):
+            rows[i, 0] = x
+            rows[i, 1] = (a * x + b) % p
+            x = (x + step) % p
+        rows[steps:, :] = base.rand(ark_test_rng())
+        cols = np.ascontiguousarray(rows.T)
 
     omega_p = kb.pack_scalar(domain.group_gen)
     step_p = kb.pack_scalar(base.from_int(step))
@@ -99,5 +144,5 @@ def counter_device_trace(stark_field, steps: int, start=1, step=3, a=5, b=7):
 
     return DeviceTrace(
         stark_field=stark_field, steps=steps, cols=cols,
-        transitions=[t_inc, t_affine],
+        transitions=[t_inc, t_affine], cols_dev=cols_dev,
     )

@@ -415,6 +415,7 @@ class DeviceEngine:
                 lines.append((a, b, x1, x2))
 
             if prev.device:
+                # deferred: transfer streams while later rounds proceed
                 round_quotients = self._query_quotients_batch(prev, lines)
             else:
                 round_quotients = [
@@ -431,6 +432,10 @@ class DeviceEngine:
             points.append(round_points)
             queries.append(round_queries)
             quotients.append(round_quotients)
+
+        # materialize the deferred quotient pulls (their copies were started
+        # asynchronously per round and have been streaming during the loop)
+        quotients = [q() if callable(q) else q for q in quotients]
 
         return DeviceFriProof(
             ext=ext, ke=ke, points=points, queries=queries, quotients=quotients
@@ -528,7 +533,13 @@ class DeviceEngine:
 
     def _query_quotients_batch(self, prev: "_FriRoundRepr", lines):
         """All queries' quotients for one round in ONE executable + ONE
-        length scan + ONE bounded pull (round-trips dominate on the tunnel)."""
+        length scan + ONE bounded pull (round-trips dominate on the tunnel).
+
+        Returns a DEFERRED (zero-arg callable): the trimmed device->host copy
+        is started asynchronously here (copy_to_host_async) so the multi-MB
+        quotient transfer of round i rides the tunnel while round i+1's
+        compute and Merkle-proof searches proceed — call the deferred to
+        materialize the per-query coefficient arrays (VERDICT r1 item 7)."""
         ext = self.config.stark_field.extension
         ke = self.ke
         pc = prev.coeffs
@@ -549,10 +560,19 @@ class DeviceEngine:
         s2_s = stack([ext.pow(ext.inv(l[3]), n0 - 1) for l in lines])
 
         qs, effs = _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s)
-        effs = [int(e) for e in np.asarray(effs)]
+        effs = [int(e) for e in np.asarray(effs)]   # tiny pull; blocks on compute only
         m = max(effs + [0])
-        arr = np.asarray(qs[:, :m]) if m else np.asarray(qs[:, :0])
-        return [arr[qi, : effs[qi]] for qi in range(len(lines))]
+        trimmed = qs[:, :m]
+        try:
+            trimmed.copy_to_host_async()
+        except AttributeError:  # older jax.Array without the method
+            pass
+
+        def materialize():
+            arr = np.asarray(trimmed)
+            return [arr[qi, : effs[qi]] for qi in range(len(lines))]
+
+        return materialize
 
     def _query_quotient(self, prev: "_FriRoundRepr", a, b, x1, x2):
         ext = self.config.stark_field.extension

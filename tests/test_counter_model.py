@@ -36,3 +36,34 @@ def test_counter_device_matches_host(monkeypatch):
     assert dev_proof.trace_commit == host_proof.trace_commit
     assert dev_proof.constrain_trace_commit == host_proof.constrain_trace_commit
     assert dev_proof.validity_queries == host_proof.validity_queries
+
+
+def test_counter_on_device_witness_matches():
+    """Closed-form on-device witness gen == host-loop columns, both fields."""
+    import numpy as np
+
+    from ministark_tpu.ops.registry import get_kernels
+
+    for sf, steps in ((Goldilocks, 21), (BabyBear, 13)):
+        kb = get_kernels(sf.base)
+        host = counter_device_trace(sf, steps)
+        dev = counter_device_trace(sf, steps, on_device=True)
+        packed_host = kb.pack(host.cols.reshape(-1)).reshape(
+            np.asarray(dev.cols_dev).shape)
+        assert np.array_equal(np.asarray(dev.cols_dev), packed_host)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("MINISTARK_SLOW_TESTS") != "1",
+    reason="~5 min on the CPU backend; run with MINISTARK_SLOW_TESTS=1 "
+           "(VERDICT r1 item 9: second AIR engine/host equivalence at 2^16)")
+def test_counter_device_matches_host_2e16():
+    sf = Goldilocks
+    steps = (1 << 16) - 1
+    claim = CounterClaim(field=sf.base, steps=steps)
+    trace = claim.trace(None)
+    cfg = StarkConfig(sf, 20, 2, steps, trace.constrain_number())
+    host_proof = Stark(cfg).prove(claim, None)
+    dev_proof = DeviceEngine(cfg).prove(counter_device_trace(sf, steps))
+    assert dev_proof.arthur == host_proof.arthur
+    assert dev_proof.validity_queries == host_proof.validity_queries

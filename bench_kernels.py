@@ -110,6 +110,30 @@ def kernel_rooflines():
         "unit": "ms",
         "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
     })
+
+    # --- batched multi-poly FRI commit, 4-ary tree (BASELINE config 4) ---
+    # 4 polys of 2^20 coeffs LDE'd to 2^21 + one 4-ary row tree over the
+    # 2^21 x 4 value matrix. Hash-bound (VPU), so reported as leaf rows/s.
+    from ministark_tpu.fri.batched import BatchedFri, BatchedFriConfig
+
+    bfri = BatchedFri(BatchedFriConfig(GOLDILOCKS_FP2, blowup=2, arity=4))
+    bb_, nb_ = 4, 1 << 20
+    pv = rng.integers(0, GOLDILOCKS_FP.p, size=(bb_, nb_, 2), dtype=np.uint64)
+    polys = jnp.asarray(
+        np.stack([(pv & 0xFFFFFFFF).astype(np.uint32),
+                  (pv >> 32).astype(np.uint32)], axis=-1))
+    tree = bfri.commit(polys)                       # compile + warm
+    jax.block_until_ready(tree._digests)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        jax.block_until_ready(bfri.commit(polys)._digests)
+        best = min(best, time.time() - t0)
+    results.append({
+        "metric": "batched_commit_2^20_b4_arity4",
+        "value": round(best * 1e3, 2), "unit": "ms",
+        "leaf_rows_per_s": round(2 * nb_ / best / 1e6, 2),  # Mrows/s
+    })
     return results
 
 

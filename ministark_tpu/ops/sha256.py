@@ -152,6 +152,43 @@ def merkle_inner_levels_device(leaf_digests, fan_in: int = 2):
     return _inner_levels_fused(leaf_digests, fan_in)
 
 
+# ---------------------------------------------------------------------------
+# Binary row hashing (fast / non-parity mode): SHA-256 over the raw
+# little-endian u64 bytes of a row of field components. Unlike the parity
+# leaf hash (ops/leaf_hash.py, decimal Display preimages per the reference's
+# src/merkle.rs:162-168), every lane has the SAME static message length, so
+# no per-lane masking is needed — one dense batched compression.
+# Host equivalent: hashlib.sha256(row_le_bytes).digest().
+# ---------------------------------------------------------------------------
+
+def _bswap32(x):
+    return (
+        ((x & jnp.uint32(0xFF)) << 24)
+        | ((x & jnp.uint32(0xFF00)) << 8)
+        | ((x >> 8) & jnp.uint32(0xFF00))
+        | (x >> 24)
+    )
+
+
+@jax.jit
+def binary_row_digests(comps):
+    """comps: (n, C, 2) u32 [lo, hi] pairs -> (n, 8) digests of the rows'
+    C little-endian u64s (8C bytes per message, statically padded)."""
+    n, C, _ = comps.shape
+    m = 8 * C                                # message bytes
+    n_blocks = (m + 9 + 63) // 64
+    total_words = n_blocks * 16
+    words = _bswap32(comps).reshape(n, 2 * C)  # LE bytes as BE SHA words
+    tail = np.zeros(total_words - 2 * C, dtype=np.uint32)
+    tail[0] = 0x80000000
+    tail[-2] = (m * 8) >> 32
+    tail[-1] = (m * 8) & 0xFFFFFFFF
+    msgs = jnp.concatenate(
+        [words, jnp.broadcast_to(jnp.asarray(tail), (n, tail.shape[0]))], axis=1
+    )
+    return sha256_blocks(msgs.reshape(n, n_blocks, 16))
+
+
 def digests_to_bytes(digests) -> np.ndarray:
     """(n, 8) uint32 big-endian words -> (n, 32) uint8."""
     d = np.asarray(digests)

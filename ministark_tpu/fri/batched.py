@@ -108,6 +108,18 @@ class BatchedFriConfig:
 
 
 @dataclass
+class BatchedFriResult:
+    """Truthy verification result carrying the authenticated query rows
+    (index, row values at idx, row values at idx + N/2) for outer protocols
+    (stark/fast.py) to impose their own row relations."""
+
+    rows: List[Tuple[int, List, List]]
+
+    def __bool__(self) -> bool:
+        return True
+
+
+@dataclass
 class BatchedFriProof:
     b: int                      # number of batched polynomials
     n: int                      # per-polynomial coefficient length
@@ -217,15 +229,18 @@ class BatchedFri:
         evals0 = self._fft_batched(polys, N)        # (B, N, *elem)
         return self._tree(jnp.moveaxis(evals0, 0, 1))
 
-    def prove(self, polys) -> BatchedFriProof:
-        """polys: packed (B, n, *ke.elem) ext coefficient array (device)."""
+    def prove(self, polys, transcript: FastTranscript = None) -> BatchedFriProof:
+        """polys: packed (B, n, *ke.elem) ext coefficient array (device).
+
+        ``transcript``: bind the FRI into an outer protocol's transcript
+        (stark/fast.py); a fresh one is derived when omitted."""
         cfg = self.cfg
         ext, ke = self.ext, self.ke
         b, n = int(polys.shape[0]), int(polys.shape[1])
         assert n & (n - 1) == 0
         N = cfg.blowup * n
         R = self._n_folds(n)
-        tr = self._transcript(b, n)
+        tr = transcript if transcript is not None else self._transcript(b, n)
 
         batch_tree = self.commit(polys)
         tr.absorb(batch_tree.root())
@@ -277,7 +292,8 @@ class BatchedFri:
         return [(opened[2 * q], opened[2 * q + 1]) for q in range(len(pairs))]
 
     # ------------------------------------------------------------- verify
-    def verify(self, proof: BatchedFriProof) -> bool:
+    def verify(self, proof: BatchedFriProof,
+               transcript: FastTranscript = None) -> "BatchedFriResult":
         cfg = self.cfg
         ext = self.ext
         b, n = proof.b, proof.n
@@ -286,7 +302,7 @@ class BatchedFri:
         assert len(proof.layer_roots) == R - 1
         assert len(proof.final_coeffs) <= n >> R
 
-        tr = self._transcript(b, n)
+        tr = transcript if transcript is not None else self._transcript(b, n)
         tr.absorb(proof.batch_root)
         rho = tr.challenge_scalar(ext)
         alphas = []
@@ -301,6 +317,7 @@ class BatchedFri:
         rho_pows = [ext.pow(rho, j) for j in range(b)]
         w0 = ext.get_root_of_unity(N)
 
+        rows = []
         for qi, idx in enumerate(idxs):
             pu, pv = proof.batch_openings[qi]
             assert IndexMerkleTree.verify_path(
@@ -351,4 +368,5 @@ class BatchedFri:
                     for c in reversed(proof.final_coeffs):
                         acc = ext.add(ext.mul(acc, x), c)
                     assert acc == expected, "final layer mismatch"
-        return True
+            rows.append((idx, fu, fv))
+        return BatchedFriResult(rows=rows)

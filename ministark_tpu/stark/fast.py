@@ -1,0 +1,179 @@
+"""Fast-mode STARK: the parity protocol's structure on production-style
+commitments (BASELINE config 4 — batched multi-poly FRI, 4/8-ary Merkle).
+
+The parity prover (stark/stark.py + stark/engine.py) replicates the
+reference bit-for-bit, including its costly choices: decimal-Display leaf
+preimages, value-searched Merkle openings, fan-in-2 trees, one FRI per
+polynomial, and full quotient coefficient vectors in the proof (~50 MB at
+2^20 rows). This module keeps the reference's *capabilities and trust
+model* (same AIR frontend via DeviceTrace, same out-of-band ``Constrains``
+the verifier holds — see src/starks.rs:121-149 where verification
+re-evaluates the verifier-known constraint polynomials) but swaps the
+commitment/proximity layer for the fast stack:
+
+  * ONE batched FRI (fri/batched.py) across all w+t constraint polynomials
+    plus the validity polynomial — rho-mixed on device;
+  * wide-arity index-addressed Merkle trees with binary row hashing
+    (commit/index_tree.py) — no decimal digits, no value search;
+  * index-addressed query openings — proofs are ~1 MB at 2^20 rows
+    instead of ~50 MB, and the prover never ships codewords.
+
+Verifier checks (per the reference's model, strengthened):
+  1. point checks — at ``point_queries`` random extension points z_j the
+     prover ships all w+t evaluations; the verifier re-evaluates its
+     out-of-band constraint polynomials on device and compares
+     (src/starks.rs:139-149 equivalent);
+  2. the batched-FRI chain — low-degree of the rho-mix of all committed
+     polynomials, Merkle paths, fold consistency;
+  3. row relation — at every FRI query index the opened row must satisfy
+     validity == sum_i r^i * f_i, binding the committed validity codeword
+     to the committed constraint codewords (the fast-mode analogue of
+     §8.3's "validity == mixed" identity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fri.batched import (
+    BatchedFri,
+    BatchedFriConfig,
+    BatchedFriProof,
+    FastTranscript,
+    _scalar_bytes,
+)
+from ..ops.ntt_device import get_ntt_fns
+from ..ops.poly_device import mix_columns_jit
+from ..ops.registry import get_kernels, lift_base_array
+from .engine import DeviceTrace, _eval_many_jit
+
+
+@dataclass
+class FastStarkConfig:
+    stark_field: object
+    steps: int
+    queries: int = 32          # FRI query indices
+    point_queries: int = 2     # random-point DEEP checks (each ~|ext|^-1)
+    blowup: int = 2
+    arity: int = 4
+    final_len: int = 32
+
+
+@dataclass
+class FastStarkProof:
+    width: int
+    transitions: int
+    point_evals: List[List]            # [z_j][poly i] extension evaluations
+    fri_proof: BatchedFriProof
+
+    def size_bytes(self) -> int:
+        fp = self.fri_proof
+        paths = [p for pair in fp.batch_openings for p in pair]
+        paths += [p for q in fp.layer_openings for pair in q for p in pair]
+        return (
+            32 * (1 + len(fp.layer_roots))
+            + sum(len(p.row) + sum(len(g) for g in p.groups) for p in paths)
+            + 16 * len(fp.final_coeffs)
+            + sum(16 * len(e) for e in self.point_evals)
+        )
+
+
+class FastStark:
+    def __init__(self, config: FastStarkConfig):
+        self.config = config
+        sf = config.stark_field
+        self.base, self.ext = sf.base, sf.extension
+        self.kb = get_kernels(self.base)
+        self.ke = get_kernels(self.ext)
+        self.fri = BatchedFri(BatchedFriConfig(
+            self.ext, blowup=config.blowup, queries=config.queries,
+            arity=config.arity, final_len=config.final_len,
+        ))
+
+    def _transcript(self, width: int, n_transitions: int, n: int) -> FastTranscript:
+        c = self.config
+        tr = FastTranscript(b"fast-stark")
+        tr.absorb(b"%d/%d/%d/%d/%d/%d/%d/%d/%d" % (
+            width, n_transitions, c.steps, n, c.queries, c.point_queries,
+            c.blowup, c.arity, c.final_len,
+        ))
+        return tr
+
+    def _constraint_polys(self, trace: DeviceTrace):
+        """trace -> packed (w+t, n, *base_elem) coefficient array (device)."""
+        n = trace.domain_size
+        if trace.cols_dev is not None:
+            x = trace.cols_dev
+        else:
+            x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
+                (trace.width, n) + self.kb.elem_axes))
+        _, ifft, _, _ = get_ntt_fns(self.base, n)
+        tp = ifft(x)
+        trans = [f(tp) for f in trace.transitions]
+        return jnp.concatenate([tp] + [t[None] for t in trans], axis=0)
+
+    # ---------------------------------------------------------------- prove
+    def prove(self, trace: DeviceTrace) -> FastStarkProof:
+        ext, ke = self.ext, self.ke
+        all_coeffs = self._constraint_polys(trace)
+        total, n = int(all_coeffs.shape[0]), int(all_coeffs.shape[1])
+        w = trace.width
+        tr = self._transcript(w, total - w, n)
+
+        r = tr.challenge_scalar(ext)
+        ext_coeffs = lift_base_array(ke, all_coeffs)      # (w+t, n, *ext)
+        weights = jnp.asarray(ke.pack([ext.pow(r, i) for i in range(total)]))
+        validity = mix_columns_jit(ke, ext_coeffs, weights)
+        batch = jnp.concatenate([ext_coeffs, validity[None]], axis=0)
+
+        point_evals = []
+        for _ in range(self.config.point_queries):
+            z = tr.challenge_scalar(ext)
+            ev = np.asarray(_eval_many_jit(ke, ext_coeffs, jnp.asarray(ke.pack_scalar(z))))
+            evals = [ke.unpack(ev[i : i + 1])[0] for i in range(total)]
+            tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
+            point_evals.append(evals)
+
+        fri_proof = self.fri.prove(batch, transcript=tr)
+        return FastStarkProof(
+            width=w, transitions=total - w,
+            point_evals=point_evals, fri_proof=fri_proof,
+        )
+
+    # --------------------------------------------------------------- verify
+    def verify(self, constrain_coeffs, proof: FastStarkProof) -> bool:
+        """``constrain_coeffs``: (w+t, n, *base_elem) packed out-of-band
+        Constrains, exactly as DeviceEngine.verify consumes them."""
+        ext, ke = self.ext, self.ke
+        total = proof.width + proof.transitions
+        assert constrain_coeffs.shape[0] == total
+        n = int(constrain_coeffs.shape[1])
+        tr = self._transcript(proof.width, proof.transitions, n)
+
+        r = tr.challenge_scalar(ext)
+        ext_coeffs = lift_base_array(ke, jnp.asarray(constrain_coeffs))
+        r_pows = [ext.pow(r, i) for i in range(total)]
+
+        assert len(proof.point_evals) == self.config.point_queries
+        for evals in proof.point_evals:
+            z = tr.challenge_scalar(ext)
+            ev = np.asarray(_eval_many_jit(ke, ext_coeffs, jnp.asarray(ke.pack_scalar(z))))
+            mine = [ke.unpack(ev[i : i + 1])[0] for i in range(total)]
+            assert len(evals) == total
+            for a, b in zip(mine, evals):
+                assert a == b, "point evaluation mismatch"
+            tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
+
+        res = self.fri.verify(proof.fri_proof, transcript=tr)
+        assert proof.fri_proof.b == total + 1
+        for _idx, fu, fv in res.rows:
+            for row in (fu, fv):
+                acc = ext.zero()
+                for i in range(total):
+                    acc = ext.add(acc, ext.mul(r_pows[i], row[i]))
+                assert acc == row[total], "validity row relation"
+        return True

@@ -1,0 +1,74 @@
+"""Fast-mode STARK (stark/fast.py): reference capabilities on the batched
+FRI / wide-arity commitment stack. Non-parity surface — gates its own
+completeness, soundness probes, and proof-size claims."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from ministark_tpu.fields import BabyBear, Goldilocks
+from ministark_tpu.models.counter import counter_device_trace
+from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
+from ministark_tpu.stark.fast import FastStark, FastStarkConfig
+
+
+def _constrains(stark, trace):
+    return np.asarray(stark._constraint_polys(trace))
+
+
+@pytest.mark.parametrize("sf,steps,arity", [
+    (Goldilocks, 100, 4), (Goldilocks, 63, 8), (BabyBear, 77, 4),
+])
+def test_fast_stark_roundtrip(sf, steps, arity):
+    trace = fibonacci_device_trace(sf, steps)
+    stark = FastStark(FastStarkConfig(
+        sf, steps, queries=8, point_queries=2, arity=arity, final_len=8,
+    ))
+    proof = stark.prove(trace)
+    assert stark.verify(_constrains(stark, trace), proof)
+    # sane proof size: KBs, not the parity format's full quotient vectors
+    assert proof.size_bytes() < 200_000
+
+
+def test_fast_stark_counter_model():
+    sf = Goldilocks
+    steps = 200
+    trace = counter_device_trace(sf, steps)
+    stark = FastStark(FastStarkConfig(sf, steps, queries=8, final_len=8))
+    proof = stark.prove(trace)
+    assert stark.verify(_constrains(stark, trace), proof)
+
+
+def test_fast_stark_rejects_wrong_witness():
+    """Constrains from a different witness must fail the point checks."""
+    sf = Goldilocks
+    steps = 60
+    stark = FastStark(FastStarkConfig(sf, steps, queries=8, final_len=8))
+    proof = stark.prove(fibonacci_device_trace(sf, steps))
+    other = fibonacci_device_trace(sf, steps, secret_b=99)
+    with pytest.raises(AssertionError):
+        stark.verify(_constrains(stark, other), proof)
+
+
+def test_fast_stark_rejects_tampered_evals_and_rows():
+    sf = Goldilocks
+    steps = 60
+    ext = sf.extension
+    stark = FastStark(FastStarkConfig(sf, steps, queries=8, final_len=8))
+    trace = fibonacci_device_trace(sf, steps)
+    proof = stark.prove(trace)
+    cons = _constrains(stark, trace)
+
+    bad = copy.deepcopy(proof)
+    bad.point_evals[0][0] = ext.add(bad.point_evals[0][0], ext.one())
+    with pytest.raises(AssertionError):
+        stark.verify(cons, bad)
+
+    # corrupt an opened batch row: Merkle path must fail
+    bad = copy.deepcopy(proof)
+    row = bytearray(bad.fri_proof.batch_openings[0][0].row)
+    row[3] ^= 0x10
+    bad.fri_proof.batch_openings[0][0].row = bytes(row)
+    with pytest.raises(AssertionError):
+        stark.verify(cons, bad)

@@ -71,6 +71,37 @@ def device_prove(steps):
     return t_prove, t_verify
 
 
+def fast_prove(steps):
+    """BENCH_MODE=fast: the non-parity FastStark (batched FRI, 4-ary
+    trees, binary row hashing — BASELINE config 4)."""
+    from ministark_tpu.models.counter import counter_device_trace
+    from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
+    from ministark_tpu.stark.fast import FastStark, FastStarkConfig
+
+    sf = _field()
+    on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
+    if os.environ.get("BENCH_MODEL", "fibonacci") == "counter":
+        dtrace = counter_device_trace(sf, steps, on_device=on_dev)
+    else:
+        dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
+    stark = FastStark(FastStarkConfig(
+        sf, steps, queries=32, arity=int(os.environ.get("BENCH_ARITY", "4")),
+    ))
+
+    t0 = time.time()
+    proof = stark.prove(dtrace)
+    t_prove = time.time() - t0
+
+    t_verify = None
+    if os.environ.get("BENCH_SKIP_VERIFY") != "1":
+        cons = stark._constraint_polys(dtrace)
+        t0 = time.time()
+        assert stark.verify(cons, proof)
+        t_verify = time.time() - t0
+    print(f"# fast proof size {proof.size_bytes() / 1e6:.2f} MB", file=sys.stderr)
+    return t_prove, t_verify
+
+
 def host_prove(steps):
     from ministark_tpu.models import FibonacciClaim, Witness
     from ministark_tpu.models.counter import CounterClaim
@@ -109,11 +140,12 @@ def main():
     import jax.numpy as jnp
 
     jnp.zeros((8, 128), jnp.uint32).sum().block_until_ready()  # tunnel warmup
-    t_cold, _ = (device_prove(steps)[0], None) if os.environ.get("BENCH_COLD_ONLY") != "1" else (None, None)
+    prove_fn = fast_prove if os.environ.get("BENCH_MODE") == "fast" else device_prove
+    t_cold, _ = (prove_fn(steps)[0], None) if os.environ.get("BENCH_COLD_ONLY") != "1" else (None, None)
     # the tunnel's transfer/dispatch latency swings 2-3x between runs;
     # steady-state = best of two measured proves (standard for noisy hosts)
-    t_prove, t_verify = device_prove(steps)
-    t_prove2, t_verify2 = device_prove(steps)
+    t_prove, t_verify = prove_fn(steps)
+    t_prove2, t_verify2 = prove_fn(steps)
     t_prove = min(t_prove, t_prove2)
     if t_verify is not None and t_verify2 is not None:
         t_verify = min(t_verify, t_verify2)
@@ -143,6 +175,8 @@ def main():
 
     model = os.environ.get("BENCH_MODEL", "fibonacci")
     tag = "fib" if model == "fibonacci" else model
+    if os.environ.get("BENCH_MODE") == "fast":
+        tag = "fast_" + tag
     print(json.dumps({
         "metric": f"e2e_prove_rows_per_s_{tag}{steps}_" + os.environ.get("BENCH_FIELD", "goldilocks"),
         "value": round(rows_per_s, 1),

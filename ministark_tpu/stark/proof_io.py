@@ -71,6 +71,125 @@ def proof_to_json(stark_field, proof: StarkProof) -> str:
     return json.dumps(doc)
 
 
+# ---------------------------------------------------------------------------
+# Fast-mode proofs (stark/fast.py): compact length-prefixed binary — the
+# production format (parity proofs keep the readable JSON envelope above).
+# ---------------------------------------------------------------------------
+
+_FAST_MAGIC = b"MSF1"
+
+
+def _w_bytes(out: bytearray, b: bytes, width: int = 4):
+    out += len(b).to_bytes(width, "little")
+    out += b
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        assert len(b) == n, "truncated proof"
+        self.pos += n
+        return b
+
+    def u(self, width: int) -> int:
+        return int.from_bytes(self.take(width), "little")
+
+    def blob(self, width: int = 4) -> bytes:
+        return self.take(self.u(width))
+
+
+def fast_proof_to_bytes(stark_field, proof) -> bytes:
+    ext = stark_field.extension
+    fp = proof.fri_proof
+    out = bytearray(_FAST_MAGIC)
+    _w_bytes(out, stark_field.name.encode(), 1)
+    out += proof.width.to_bytes(2, "little")
+    out += proof.transitions.to_bytes(2, "little")
+
+    out += len(proof.point_evals).to_bytes(2, "little")
+    for evals in proof.point_evals:
+        out += len(evals).to_bytes(2, "little")
+        for e in evals:
+            _w_bytes(out, ext.serialize_compressed(e), 1)
+
+    out += fp.b.to_bytes(2, "little")
+    out += fp.n.to_bytes(4, "little")
+    out += fp.batch_root
+    out += len(fp.layer_roots).to_bytes(2, "little")
+    for r in fp.layer_roots:
+        out += r
+    out += len(fp.final_coeffs).to_bytes(4, "little")
+    for c in fp.final_coeffs:
+        _w_bytes(out, ext.serialize_compressed(c), 1)
+
+    def w_openings(pairs):
+        out.extend(len(pairs).to_bytes(2, "little"))
+        for pu, pv in pairs:
+            for p in (pu, pv):
+                _w_bytes(out, p.row)
+                out.extend(len(p.groups).to_bytes(1, "little"))
+                for g in p.groups:
+                    _w_bytes(out, g, 2)
+
+    w_openings(fp.batch_openings)
+    out += len(fp.layer_openings).to_bytes(2, "little")
+    for per_query in fp.layer_openings:
+        w_openings(per_query)
+    return bytes(out)
+
+
+def fast_proof_from_bytes(stark_field, data: bytes):
+    from ..fri.batched import BatchedFriProof
+    from ..commit.index_tree import IndexMerklePath
+    from .fast import FastStarkProof
+
+    ext = stark_field.extension
+    r = _Reader(data)
+    assert r.take(4) == _FAST_MAGIC, "bad magic"
+    assert r.blob(1).decode() == stark_field.name, "field mismatch"
+    width = r.u(2)
+    transitions = r.u(2)
+
+    point_evals = []
+    for _ in range(r.u(2)):
+        point_evals.append(
+            [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(2))]
+        )
+
+    b = r.u(2)
+    n = r.u(4)
+    batch_root = r.take(32)
+    layer_roots = [r.take(32) for _ in range(r.u(2))]
+    final_coeffs = [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(4))]
+
+    def r_openings():
+        pairs = []
+        for _ in range(r.u(2)):
+            ps = []
+            for _ in range(2):
+                row = r.blob()
+                groups = [r.blob(2) for _ in range(r.u(1))]
+                ps.append(IndexMerklePath(row=row, groups=groups))
+            pairs.append((ps[0], ps[1]))
+        return pairs
+
+    batch_openings = r_openings()
+    layer_openings = [r_openings() for _ in range(r.u(2))]
+    assert r.pos == len(data), "trailing bytes"
+    return FastStarkProof(
+        width=width, transitions=transitions, point_evals=point_evals,
+        fri_proof=BatchedFriProof(
+            b=b, n=n, batch_root=batch_root, layer_roots=layer_roots,
+            final_coeffs=final_coeffs, batch_openings=batch_openings,
+            layer_openings=layer_openings,
+        ),
+    )
+
+
 def proof_from_json(stark_field, data: str) -> StarkProof:
     ext = stark_field.extension
     doc = json.loads(data)

@@ -72,3 +72,21 @@ def test_fast_stark_rejects_tampered_evals_and_rows():
     bad.fri_proof.batch_openings[0][0].row = bytes(row)
     with pytest.raises(AssertionError):
         stark.verify(cons, bad)
+
+
+def test_fast_proof_serialization_roundtrip():
+    from ministark_tpu.stark.proof_io import (
+        fast_proof_from_bytes,
+        fast_proof_to_bytes,
+    )
+
+    for sf in (Goldilocks, BabyBear):
+        steps = 50
+        trace = fibonacci_device_trace(sf, steps)
+        stark = FastStark(FastStarkConfig(sf, steps, queries=4, final_len=8))
+        proof = stark.prove(trace)
+        blob = fast_proof_to_bytes(sf, proof)
+        back = fast_proof_from_bytes(sf, blob)
+        assert stark.verify(_constrains(stark, trace), back)
+        assert fast_proof_to_bytes(sf, back) == blob
+        assert len(blob) <= proof.size_bytes() * 1.2  # framing overhead bound

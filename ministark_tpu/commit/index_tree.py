@@ -54,6 +54,56 @@ def _build_digests(comps, arity: int):
     return jnp.concatenate(levels, axis=0) if len(levels) > 1 else levels[0]
 
 
+_SHARDED_CACHE: dict = {}
+
+
+def _build_digests_sharded(comps, arity: int, mesh, axis: str):
+    """Multi-chip build, digest- and layout-identical to _build_digests.
+
+    Leaf hashing and the lower levels are embarrassingly parallel: each
+    shard hashes its contiguous row block and folds fan-``arity`` while its
+    local level size divides the fan (local blocks stay group-aligned
+    because every shard holds the same power-of-two node count). The
+    remaining top levels finish replicated after one gather — the same
+    local-subtrees + tiny-top pattern as parallel/merkle_sharded.py."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    key = (tuple(comps.shape), arity, mesh, axis)
+    if key not in _SHARDED_CACHE:
+        n_dev = mesh.shape[axis]
+        n_loc = comps.shape[0] // n_dev
+
+        def body(comps_local):
+            levels = [binary_row_digests(comps_local)]
+            while levels[-1].shape[0] % arity == 0:
+                levels.append(_inner_level(levels[-1], arity))
+            return tuple(levels)
+
+        n_local = 1
+        m = n_loc
+        while m % arity == 0:
+            m //= arity
+            n_local += 1
+        shmapped = shard_map(
+            body, mesh=mesh, in_specs=(P(axis, None, None),),
+            out_specs=tuple(P(axis, None) for _ in range(n_local)),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def build(comps):
+            levels = list(shmapped(comps))
+            cur = levels[-1]
+            while cur.shape[0] > 1:
+                cur = _inner_level(cur, min(arity, cur.shape[0]))
+                levels.append(cur)
+            return jnp.concatenate(levels, axis=0)
+
+        _SHARDED_CACHE[key] = build
+    return _SHARDED_CACHE[key](comps)
+
+
 def _level_sizes(n_leaves: int, arity: int) -> List[int]:
     sizes = [n_leaves]
     while sizes[-1] > 1:
@@ -73,8 +123,11 @@ class IndexMerklePath:
 
 
 class IndexMerkleTree:
-    def __init__(self, comps, arity: int = 2):
-        """comps: (n, C, 2) u32 [lo, hi] row components (device or host)."""
+    def __init__(self, comps, arity: int = 2, mesh=None, mesh_axis: str = "shards"):
+        """comps: (n, C, 2) u32 [lo, hi] row components (device or host).
+
+        ``mesh``: optional jax.sharding.Mesh — shards the leaf hashing and
+        lower levels across devices (digest-identical to single-device)."""
         assert arity >= 2 and arity & (arity - 1) == 0
         n = int(comps.shape[0])
         assert n & (n - 1) == 0, "leaf count must be a power of two"
@@ -83,7 +136,13 @@ class IndexMerkleTree:
         self.sizes = _level_sizes(n, arity)
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
         self._comps = comps
-        self._digests = _build_digests(jnp.asarray(comps), arity)
+        if mesh is not None and n % mesh.shape[mesh_axis] == 0 \
+                and n > mesh.shape[mesh_axis]:
+            self._digests = _build_digests_sharded(
+                jnp.asarray(comps), arity, mesh, mesh_axis
+            )
+        else:
+            self._digests = _build_digests(jnp.asarray(comps), arity)
 
     def root(self) -> bytes:
         return digests_to_bytes(np.asarray(self._digests[-1:]))[0].tobytes()

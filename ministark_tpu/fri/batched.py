@@ -167,10 +167,15 @@ _mix_jit = jax.jit(mix_columns, static_argnums=0)
 
 
 class BatchedFri:
-    def __init__(self, config: BatchedFriConfig):
+    def __init__(self, config: BatchedFriConfig, mesh=None,
+                 mesh_axis: str = "shards"):
+        """``mesh``: optional jax.sharding.Mesh — LDE NTTs and Merkle
+        builds shard over it (proof bytes identical to single-device)."""
         self.cfg = config
         self.ext = config.field
         self.ke = get_kernels(self.ext)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         # packed ext layout = (first elem axis) prime components, so the
         # component NTT runs over the PRIME field (bb fp4's .base is fp2)
         self._ntt_base = self._prime(self.ext)
@@ -194,9 +199,19 @@ class BatchedFri:
             )
         comp = jnp.moveaxis(a, lead + 1, lead)      # (..., comps, N, *base_elem)
         flat = comp.reshape((-1,) + comp.shape[lead + 1:])
-        fft, _, _, _ = get_ntt_fns(self._ntt_base, domain_size)
+        fft = self._fft_fn(domain_size)
         ev = fft(flat).reshape(comp.shape)
         return jnp.moveaxis(ev, lead, lead + 1)     # (..., N, *ke.elem)
+
+    def _fft_fn(self, domain_size: int):
+        if self.mesh is not None:
+            from ..parallel.ntt_sharded import can_shard, get_sharded_ntt_fns
+
+            if can_shard(domain_size, self.mesh.shape[self.mesh_axis]):
+                return get_sharded_ntt_fns(
+                    self._ntt_base, domain_size, self.mesh, self.mesh_axis
+                )[0]
+        return get_ntt_fns(self._ntt_base, domain_size)[0]
 
     def _limbed(self) -> bool:
         kb = get_kernels(self._ntt_base)
@@ -204,7 +219,8 @@ class BatchedFri:
 
     def _tree(self, rows) -> IndexMerkleTree:
         return IndexMerkleTree(
-            _rows_to_comps_jit(self._limbed(), rows), self.cfg.arity
+            _rows_to_comps_jit(self._limbed(), rows), self.cfg.arity,
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
         )
 
     def _transcript(self, b: int, n: int) -> FastTranscript:

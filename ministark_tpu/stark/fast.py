@@ -83,16 +83,22 @@ class FastStarkProof:
 
 
 class FastStark:
-    def __init__(self, config: FastStarkConfig):
+    def __init__(self, config: FastStarkConfig, mesh=None,
+                 mesh_axis: str = "shards"):
+        """``mesh``: optional jax.sharding.Mesh — the LDE NTTs and Merkle
+        builds run sharded over it; proofs are byte-identical to the
+        single-device path (tests/test_fast_stark.py)."""
         self.config = config
         sf = config.stark_field
         self.base, self.ext = sf.base, sf.extension
         self.kb = get_kernels(self.base)
         self.ke = get_kernels(self.ext)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.fri = BatchedFri(BatchedFriConfig(
             self.ext, blowup=config.blowup, queries=config.queries,
             arity=config.arity, final_len=config.final_len,
-        ))
+        ), mesh=mesh, mesh_axis=mesh_axis)
 
     def _transcript(self, width: int, n_transitions: int, n: int) -> FastTranscript:
         c = self.config
@@ -111,7 +117,14 @@ class FastStark:
         else:
             x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
                 (trace.width, n) + self.kb.elem_axes))
-        _, ifft, _, _ = get_ntt_fns(self.base, n)
+        ifft = get_ntt_fns(self.base, n)[1]
+        if self.mesh is not None:
+            from ..parallel.ntt_sharded import can_shard, get_sharded_ntt_fns
+
+            if can_shard(n, self.mesh.shape[self.mesh_axis]):
+                ifft = get_sharded_ntt_fns(
+                    self.base, n, self.mesh, self.mesh_axis
+                )[1]
         tp = ifft(x)
         trans = [f(tp) for f in trace.transitions]
         return jnp.concatenate([tp] + [t[None] for t in trans], axis=0)

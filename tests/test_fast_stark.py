@@ -90,3 +90,22 @@ def test_fast_proof_serialization_roundtrip():
         assert stark.verify(_constrains(stark, trace), back)
         assert fast_proof_to_bytes(sf, back) == blob
         assert len(blob) <= proof.size_bytes() * 1.2  # framing overhead bound
+
+
+def test_fast_stark_sharded_byte_identical():
+    """FastStark over an 8-device mesh produces byte-identical proofs to the
+    single-device path (BASELINE config 5 analogue for the fast stack)."""
+    from jax.sharding import Mesh
+    import jax
+
+    from ministark_tpu.stark.proof_io import fast_proof_to_bytes
+
+    sf = Goldilocks
+    steps = (1 << 12) - 1
+    trace = fibonacci_device_trace(sf, steps)
+    cfg = FastStarkConfig(sf, steps, queries=8, final_len=8)
+
+    single = FastStark(cfg).prove(trace)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    sharded = FastStark(cfg, mesh=mesh).prove(trace)
+    assert fast_proof_to_bytes(sf, sharded) == fast_proof_to_bytes(sf, single)

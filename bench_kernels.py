@@ -6,11 +6,13 @@ line per kernel. Roofline model: these kernels are HBM-bandwidth-bound --
 bytes moved per transform / measured time vs the chip's peak bandwidth
 (TPU v5e ~819 GB/s).
 
-Measurement method: K data-dependent iterations inside ONE jit
-(lax.fori_loop threading the output back as input), timed around a single
-dispatch. This excludes the per-call tunnel/dispatch latency of this
-environment (~5-10 ms swings) that a naive per-call loop would count; it is
-the number the HLO profiler corroborates (see BENCHMARKS.md).
+Measurement method: SLOPE timing. Each kernel is chained K data-dependent
+iterations inside ONE jit (lax.fori_loop threading the output back as
+input, an optimization_barrier per iteration), at two iteration counts;
+the marginal per-iteration cost is the slope (t_K2 - t_K1) / (K2 - K1).
+This cancels the ~40 ms fixed per-dispatch overhead of this environment's
+TPU tunnel, which at small K inflates every naive measurement (measured:
+copy streams at ~610 GB/s by slope vs ~60 GB/s naive at K=8).
 
 Run on TPU (default backend) or CPU (JAX_PLATFORMS=cpu) -- absolute numbers
 only mean something on the TPU.
@@ -36,21 +38,26 @@ import numpy as np
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))
 
 
-def _time_chained(fn, x, iters=16):
-    """Time per iteration of x -> fn(x) chained inside one jit (one dispatch,
-    data-dependent iterations -- XLA cannot elide or overlap them)."""
+def _timed_k(fn, x, iters, reps=3):
     import jax.lax as lax
 
-    chain = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, u: fn(u), v))
+    body = lambda i, u: lax.optimization_barrier(fn(u))
+    chain = jax.jit(lambda v: lax.fori_loop(0, iters, body, v))
     y = chain(x)
     jax.block_until_ready(y)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
-        y = chain(y)
-        jax.block_until_ready(y)
-        best = min(best, (time.time() - t0) / iters)
+        jax.block_until_ready(chain(y))
+        best = min(best, time.time() - t0)
     return best
+
+
+def _time_chained(fn, x, k1=8, k2=40):
+    """Marginal per-iteration device time of x -> fn(x) by slope."""
+    t1 = _timed_k(fn, x, k1)
+    t2 = _timed_k(fn, x, k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
 def kernel_rooflines():

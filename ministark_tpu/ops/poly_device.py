@@ -134,14 +134,31 @@ def synth_div(k: FieldKernels, coeffs, z):
     return bb_[::-1]
 
 
-def fold_even_odd(k: FieldKernels, coeffs, alpha):
-    """f_even + alpha * f_odd over coefficient slices (split_factor 2)."""
+_FOLD_ROW = 1024
+
+
+def _even_odd_split(coeffs):
+    """coeffs[0::2], coeffs[1::2] — via a 2D-row view when the length allows:
+    strided slices on a 1024-wide lane axis run ~3.5x faster on TPU than on
+    the major axis of a tiny-minor-dim array (scripts/fold_probe2.py)."""
     n = coeffs.shape[0]
+    elem = tuple(coeffs.shape[1:])
+    if n % (2 * _FOLD_ROW) == 0:
+        w = coeffs.reshape((n // _FOLD_ROW, _FOLD_ROW) + elem)
+        even = w[:, 0::2].reshape((n // 2,) + elem)
+        odd = w[:, 1::2].reshape((n // 2,) + elem)
+        return even, odd
     even = coeffs[0::2]
     odd = coeffs[1::2]
     if odd.shape[0] < even.shape[0]:
         pad = jnp.zeros_like(even[: even.shape[0] - odd.shape[0]])
         odd = jnp.concatenate([odd, pad], axis=0)
+    return even, odd
+
+
+def fold_even_odd(k: FieldKernels, coeffs, alpha):
+    """f_even + alpha * f_odd over coefficient slices (split_factor 2)."""
+    even, odd = _even_odd_split(coeffs)
     return k.add(even, k.mul(odd, jnp.broadcast_to(alpha, odd.shape)))
 
 
@@ -191,14 +208,10 @@ def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
 
 def eval_even_odd(k: FieldKernels, coeffs, zp):
     """(f_even(z), f_odd(z)) for the coefficient-split halves."""
-    even = coeffs[0::2]
-    odd = coeffs[1::2]
+    even, odd = _even_odd_split(coeffs)
     m = even.shape[0]
     pw = powers(k, zp, m)
     fe = field_sum(k, k.mul(even, pw), axis=0)
-    if odd.shape[0] < m:
-        pad = jnp.zeros_like(even[: m - odd.shape[0]])
-        odd = jnp.concatenate([odd, pad], axis=0)
     fo = field_sum(k, k.mul(odd, pw), axis=0)
     return fe, fo
 

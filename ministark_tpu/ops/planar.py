@@ -1,0 +1,292 @@
+"""Limb/component-PLANAR field calculus for the VPU-hot polynomial kernels.
+
+The packed public layout keeps field components on trailing axes
+((m, 2, 2) for Goldilocks Fp2, (m, 4) for BabyBear Fp4). That layout is
+fine for the MXU NTT (which converts internally) and for hashing, but any
+slice/roll/select on the coefficient axis of a tiny-minor-dim array is
+3-40x slower than the same operation with coefficients on the LANE axis
+(scripts/slope_probe.py: fold 14.5 ms packed vs 0.33 ms planar at 2^21).
+
+This module provides the planar calculus: a field element vector is ONE
+uint32 array of shape (C, m) — component planes stacked on a leading axis,
+coefficients minor. Conversions happen INSIDE the jitted op so XLA fuses
+them with the work; all public APIs keep the packed layout.
+
+Supported fields: Goldilocks base (C=2) / Fp2 (C=4: c0lo c0hi c1lo c1hi),
+BabyBear base (C=1) / Fp4 (C=4: c00 c01 c10 c11). vmap-safe: every op
+indexes planes from the front and coefficients from the back.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bb as bb_ops
+from . import gl as gl_ops
+
+_ROW = 1024
+
+
+# --------------------------------------------------------------- arithmetic
+def _gl_base_mul(x, y):
+    return jnp.stack(gl_ops.mul_planar(x[0], x[1], y[0], y[1]))
+
+
+def _gl_base_add(x, y):
+    return jnp.stack(gl_ops.add_planar(x[0], x[1], y[0], y[1]))
+
+
+def _gl_base_sub(x, y):
+    return jnp.stack(gl_ops.sub_planar(x[0], x[1], y[0], y[1]))
+
+
+def _gl2_mul(x, y):
+    v0 = gl_ops.mul_planar(x[0], x[1], y[0], y[1])
+    v1 = gl_ops.mul_planar(x[2], x[3], y[2], y[3])
+    sx = gl_ops.add_planar(x[0], x[1], x[2], x[3])
+    sy = gl_ops.add_planar(y[0], y[1], y[2], y[3])
+    s = gl_ops.mul_planar(*sx, *sy)
+    # 7*v1 via shift-adds (nonresidue 7 = 8 - 1)
+    d2 = gl_ops.add_planar(*v1, *v1)
+    d4 = gl_ops.add_planar(*d2, *d2)
+    d8 = gl_ops.add_planar(*d4, *d4)
+    n7 = gl_ops.sub_planar(*d8, *v1)
+    c0 = gl_ops.add_planar(*v0, *n7)
+    vv = gl_ops.add_planar(*v0, *v1)
+    c1 = gl_ops.sub_planar(*s, *vv)
+    return jnp.stack([c0[0], c0[1], c1[0], c1[1]])
+
+
+def _gl2_add(x, y):
+    c0 = gl_ops.add_planar(x[0], x[1], y[0], y[1])
+    c1 = gl_ops.add_planar(x[2], x[3], y[2], y[3])
+    return jnp.stack([c0[0], c0[1], c1[0], c1[1]])
+
+
+def _gl2_sub(x, y):
+    c0 = gl_ops.sub_planar(x[0], x[1], y[0], y[1])
+    c1 = gl_ops.sub_planar(x[2], x[3], y[2], y[3])
+    return jnp.stack([c0[0], c0[1], c1[0], c1[1]])
+
+
+def _bb_base_mul(x, y):
+    return bb_ops.mul(x, y)
+
+
+def _bb2_mul4(a0, a1, b0, b1):
+    v0 = bb_ops.mul(a0, b0)
+    v1 = bb_ops.mul(a1, b1)
+    c0 = bb_ops.add(v0, bb_ops.mul(jnp.broadcast_to(bb_ops.NR_FP2, v1.shape), v1))
+    c1 = bb_ops.sub(
+        bb_ops.mul(bb_ops.add(a0, a1), bb_ops.add(b0, b1)), bb_ops.add(v0, v1)
+    )
+    return c0, c1
+
+
+def _bb4_mul(x, y):
+    v00, v01 = _bb2_mul4(x[0], x[1], y[0], y[1])
+    v10, v11 = _bb2_mul4(x[2], x[3], y[2], y[3])
+    s00, s01 = bb_ops.add(x[0], x[2]), bb_ops.add(x[1], x[3])
+    t00, t01 = bb_ops.add(y[0], y[2]), bb_ops.add(y[1], y[3])
+    s0, s1 = _bb2_mul4(s00, s01, t00, t01)
+    # v1 * Fp4-nonresidue (k + u), k = NR_FP4_C0
+    k = jnp.broadcast_to(bb_ops.NR_FP4_C0, v10.shape)
+    nr = jnp.broadcast_to(bb_ops.NR_FP2, v10.shape)
+    n0 = bb_ops.add(bb_ops.mul(v10, k), bb_ops.mul(nr, v11))
+    n1 = bb_ops.add(bb_ops.mul(v11, k), v10)
+    c00 = bb_ops.add(v00, n0)
+    c01 = bb_ops.add(v01, n1)
+    c10 = bb_ops.sub(s0, bb_ops.add(v00, v10))
+    c11 = bb_ops.sub(s1, bb_ops.add(v01, v11))
+    return jnp.stack([c00, c01, c10, c11])
+
+
+def _bb_add(x, y):
+    return bb_ops.add(x, y)
+
+
+def _bb_sub(x, y):
+    return bb_ops.sub(x, y)
+
+
+@dataclass(frozen=True)
+class PlanarCalc:
+    C: int
+    elem_axes: tuple
+    mul: Callable
+    add: Callable
+    sub: Callable
+    one_planes: np.ndarray          # (C,) uint32
+
+    # ---- layout conversion (traced; fused into the surrounding jit).
+    # Written for the LOGICAL shapes (m, *elem) <-> (C, m); batch axes are
+    # supported via vmap, not via explicit leading dims.
+    def to_planes(self, packed):
+        """(m, *elem) -> (C, m)."""
+        ne = len(self.elem_axes)
+        a = jnp.transpose(packed, tuple(range(1, 1 + ne)) + (0,))
+        return a.reshape(self.C, packed.shape[0])
+
+    def from_planes(self, planes):
+        """(C, m) -> (m, *elem)."""
+        m = planes.shape[-1]
+        a = planes.reshape(self.elem_axes + (m,))
+        ne = len(self.elem_axes)
+        return jnp.transpose(a, (ne,) + tuple(range(ne)))
+
+    def scalar_planes(self, packed_scalar):
+        """(*elem,) -> (C,)"""
+        return packed_scalar.reshape(self.C)
+
+    def bc(self, scalar_planes, like):
+        """(C,) -> broadcast against (C, m...)."""
+        extra = like.ndim - 1
+        return jnp.broadcast_to(
+            scalar_planes.reshape((self.C,) + (1,) * extra), like.shape
+        )
+
+    def one_bc(self, like):
+        return self.bc(jnp.asarray(self.one_planes), like)
+
+
+_GL2 = PlanarCalc(4, (2, 2), _gl2_mul, _gl2_add, _gl2_sub,
+                  np.array([1, 0, 0, 0], dtype=np.uint32))
+_GLB = PlanarCalc(2, (2,), _gl_base_mul, _gl_base_add, _gl_base_sub,
+                  np.array([1, 0], dtype=np.uint32))
+_BB4 = PlanarCalc(4, (4,), _bb4_mul, _bb_add, _bb_sub,
+                  np.array([1, 0, 0, 0], dtype=np.uint32))
+_BBB = PlanarCalc(1, (), _bb_base_mul, _bb_add, _bb_sub,
+                  np.array([1], dtype=np.uint32))
+
+
+def get_planar(k) -> "PlanarCalc | None":
+    """Planar calculus for a FieldKernels registry entry, or None."""
+    p = k.base_field.p
+    if p == gl_ops.P:
+        return _GL2 if k.elem_axes == (2, 2) else _GLB
+    if p == bb_ops.P:
+        if k.elem_axes == (4,):
+            return _BB4
+        return _BBB if k.elem_axes == () else None
+    return None
+
+
+# ------------------------------------------------------------ pipeline ops
+def _mask_where(mask_m, a, b):
+    """select along the coefficient (last) axis."""
+    return jnp.where(jnp.broadcast_to(mask_m, a.shape), a, b)
+
+
+def fold_planes(pc: PlanarCalc, pl, alpha_planes):
+    """(C, m) -> (C, m/2): even + alpha * odd over coefficient parity."""
+    C, m = pl.shape[-2], pl.shape[-1]
+    if m % (2 * _ROW) == 0:
+        w = pl.reshape(pl.shape[:-1] + (m // _ROW, _ROW))
+        even = w[..., 0::2].reshape(pl.shape[:-1] + (m // 2,))
+        odd = w[..., 1::2].reshape(pl.shape[:-1] + (m // 2,))
+    else:
+        even = pl[..., 0::2]
+        odd = pl[..., 1::2]
+        if odd.shape[-1] < even.shape[-1]:
+            odd = jnp.concatenate(
+                [odd, jnp.zeros_like(even[..., : even.shape[-1] - odd.shape[-1]])],
+                axis=-1,
+            )
+    return pc.add(even, pc.mul(odd, pc.bc(alpha_planes, odd)))
+
+
+def powers_planes(pc: PlanarCalc, x_planes, m: int):
+    """(C,) scalar -> (C, m) = [1, x, ..., x^(m-1)] (exponent-bit ladder)."""
+    pw = pc.one_bc(jnp.zeros((pc.C, m), jnp.uint32))
+    if m == 1:
+        return pw
+    x0 = jnp.broadcast_to(x_planes.reshape(pc.C, 1), (pc.C, 1))
+    log_m = (m - 1).bit_length()
+    idx = jnp.arange(m)
+
+    def body(b, carry):
+        pw, x2 = carry
+        bit = ((idx >> b) & 1) == 1
+        mult = pc.mul(pw, jnp.broadcast_to(x2, pw.shape))
+        pw = _mask_where(bit, mult, pw)
+        return pw, pc.mul(x2, x2)
+
+    pw, _ = jax.lax.fori_loop(0, log_m, body, (pw, x0))
+    return pw
+
+
+def suffix_sums_planes(pc: PlanarCalc, pl):
+    """S_i = sum_{j >= i} pl[..., j] (Hillis-Steele on the lane axis)."""
+    m = pl.shape[-1]
+    if m == 1:
+        return pl
+    log_m = (m - 1).bit_length()
+    idx = jnp.arange(m)
+
+    def body(t, a):
+        s = jnp.int32(1) << t
+        rolled = jnp.roll(a, -s, axis=-1)
+        summed = pc.add(a, rolled)
+        return _mask_where(idx + s < m, summed, a)
+
+    return jax.lax.fori_loop(0, log_m, body, pl)
+
+
+def field_sum_planes(pc: PlanarCalc, pl):
+    """(C, m) -> (C,) total sum (log-tree with rolls)."""
+    m = pl.shape[-1]
+    if m == 1:
+        return pl[..., 0]
+    log_m = (m - 1).bit_length()
+    idx = jnp.arange(m)
+
+    def body(t, a):
+        s = jnp.int32(1) << t
+        rolled = jnp.roll(a, -s, axis=-1)
+        summed = pc.add(a, rolled)
+        return _mask_where(idx + s < m, summed, a)
+
+    return jax.lax.fori_loop(0, log_m, body, pl)[..., 0]
+
+
+_ob = jax.lax.optimization_barrier
+
+
+def synth_div_planes(pc: PlanarCalc, pl, z_planes, zinv_scale_planes):
+    """Quotient of division by (x - z): q_i = z^{-(i+1)} sum_{j>=i+1} c_j z^j.
+    pl: (C, m); returns (C, m-1). Mirrors poly_device.synth_div_suffix."""
+    m = pl.shape[-1]
+    pw = powers_planes(pc, z_planes, m)
+    t = _ob(pc.mul(pl, pw))
+    suf = suffix_sums_planes(pc, t)
+    inv_pw = _ob(pc.mul(
+        pw[..., : m - 1][..., ::-1],
+        pc.bc(zinv_scale_planes, pw[..., : m - 1]),
+    ))
+    return pc.mul(suf[..., 1:], inv_pw)
+
+
+def eval_even_odd_planes(pc: PlanarCalc, pl, z_planes):
+    """(f_even(z), f_odd(z)) as (C,) plane scalars."""
+    m = pl.shape[-1]
+    if m % (2 * _ROW) == 0:
+        w = pl.reshape(pl.shape[:-1] + (m // _ROW, _ROW))
+        even = w[..., 0::2].reshape(pl.shape[:-1] + (m // 2,))
+        odd = w[..., 1::2].reshape(pl.shape[:-1] + (m // 2,))
+    else:
+        even = pl[..., 0::2]
+        odd = pl[..., 1::2]
+        if odd.shape[-1] < even.shape[-1]:
+            odd = jnp.concatenate(
+                [odd, jnp.zeros_like(even[..., : even.shape[-1] - odd.shape[-1]])],
+                axis=-1,
+            )
+    pw = powers_planes(pc, z_planes, even.shape[-1])
+    fe = field_sum_planes(pc, _ob(pc.mul(even, pw)))
+    fo = field_sum_planes(pc, _ob(pc.mul(odd, pw)))
+    return fe, fo

@@ -156,8 +156,20 @@ def _even_odd_split(coeffs):
     return even, odd
 
 
+# Minimum coefficient count for the limb-planar fast paths (ops/planar.py):
+# below this the layout conversion outweighs the win, and tail rounds are
+# host-side anyway.
+PLANAR_MIN = 2048
+
+
 def fold_even_odd(k: FieldKernels, coeffs, alpha):
     """f_even + alpha * f_odd over coefficient slices (split_factor 2)."""
+    from .planar import fold_planes, get_planar
+
+    pc = get_planar(k)
+    if pc is not None and coeffs.shape[0] >= PLANAR_MIN:
+        out = fold_planes(pc, pc.to_planes(coeffs), pc.scalar_planes(alpha))
+        return pc.from_planes(out)
     even, odd = _even_odd_split(coeffs)
     return k.add(even, k.mul(odd, jnp.broadcast_to(alpha, odd.shape)))
 
@@ -195,7 +207,16 @@ def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
     powers-scan (mul) and one suffix-sum scan (add) — far cheaper to compile
     than a mul-pair scan, and exact in modular arithmetic.
     """
+    from .planar import get_planar, synth_div_planes
+
     n = coeffs.shape[0]
+    pc = get_planar(k)
+    if pc is not None and n >= PLANAR_MIN:
+        q = synth_div_planes(
+            pc, pc.to_planes(coeffs),
+            pc.scalar_planes(zp), pc.scalar_planes(zinv_scale),
+        )
+        return pc.from_planes(q)
     pw = powers(k, zp, n)                       # z^0 .. z^{n-1}
     t = _ob(k.mul(coeffs, pw))
     suf = suffix_sums(k, t)                      # T_i = sum_{j>=i} c_j z^j
@@ -208,6 +229,12 @@ def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
 
 def eval_even_odd(k: FieldKernels, coeffs, zp):
     """(f_even(z), f_odd(z)) for the coefficient-split halves."""
+    from .planar import eval_even_odd_planes, get_planar
+
+    pc = get_planar(k)
+    if pc is not None and coeffs.shape[0] >= PLANAR_MIN:
+        fe, fo = eval_even_odd_planes(pc, pc.to_planes(coeffs), pc.scalar_planes(zp))
+        return pc.from_planes(fe[:, None])[0], pc.from_planes(fo[:, None])[0]
     even, odd = _even_odd_split(coeffs)
     m = even.shape[0]
     pw = powers(k, zp, m)

@@ -6,29 +6,36 @@ fri/fri.py + stark/engine.py. This module is the OPT-IN non-parity mode from
 BASELINE.md ("2^20-row trace, batched multi-poly FRI, 4/8-ary Merkle"): the
 production-style protocol that amortizes one FRI across B polynomials.
 
-Protocol (standard batched FRI):
+Protocol (standard batched FRI with folding factor F):
   1. LDE all B polynomials to the size-N evaluation domain (one batched
-     component NTT) and commit them ROW-WISE in a single wide-arity Merkle
-     tree (commit/index_tree.py): leaf i = the B values at domain index i.
-  2. Squeeze rho; the batch polynomial is g = sum_j rho^j f_j (one device
+     component NTT) and commit them in a single wide-arity Merkle tree
+     (commit/index_tree.py) with COSET-GROUPED rows: leaf i holds the B*F
+     values {f_b(w^(i + t*N/F))} — one opening authenticates everything a
+     query needs at layer 0.
+  2. Squeeze rho; the batch polynomial is g = sum_b rho^b f_b (one device
      mix). g's layer-0 codeword needs NO separate commitment — the verifier
-     recomputes g(x) at any queried index from the batch tree's row.
-  3. Fold layers with per-layer challenges alpha_r (coefficient-space
-     even/odd fold, ops/poly_device.py fold_even_odd — the same kernel the
-     parity engine uses), committing each intermediate codeword, until the
-     coefficient tail fits in the clear.
-  4. Queries are BY INDEX (no value-search quirk): for each sampled index
-     the verifier checks the batch row against rho, then walks the fold
-     chain layer_{r+1}(x^2) == (u+v)/2 + alpha_r*(u-v)/(2x) down to the
-     plaintext tail.
+     recomputes g at the coset points from the batch row.
+  3. Fold F-to-1 per layer with challenge alpha_r: writing
+     f(X) = sum_{j<F} X^j f_j(X^F), the next layer is sum_j alpha^j f_j —
+     ONE strided weighted sum on device (ops/poly_device.py fold_factor).
+     Each intermediate codeword is committed with F-value coset rows,
+     until the coefficient tail fits in the clear.
+  4. Queries are BY INDEX: the opened coset row gives f at the F points
+     {x w_F^t}; the verifier recovers f_j(x^F) by a size-F inverse DFT
+     (F^2 host muls), checks layer_{r+1}(x^F) == sum_j alpha^j f_j(x^F)
+     against the next layer's opened row, down to the plaintext tail.
+
+F > 2 (default 4) halves the committed layers and makes each query open
+ONE row per layer instead of two points — smaller proofs, fewer tree
+builds, fewer device dispatches. F == 2 reduces to the reference's
+even/odd fold.
 
 Everything heavy (NTTs, folds, row hashing, tree levels) runs on device;
 the verifier is pure host (hashlib + host field ops) and touches only
-Q * log N scalars.
+Q * F * log_F N scalars.
 
-Soundness: per query, each fold halves degree; the batch check binds all B
-polynomials to g. Challenges derive from a ratcheted SHA-256 transcript
-(FastTranscript) — domain-separated, not the parity nimue sponge.
+Challenges derive from a ratcheted SHA-256 transcript (FastTranscript) —
+domain-separated, not the parity nimue sponge.
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ import numpy as np
 
 from ..commit.index_tree import IndexMerklePath, IndexMerkleTree
 from ..ops.ntt_device import get_ntt_fns
-from ..ops.poly_device import fold_even_odd, mix_columns
+from ..ops.poly_device import fold_factor, mix_columns
 from ..ops.registry import get_kernels
 
 
@@ -97,12 +104,15 @@ class BatchedFriConfig:
     field: object
     blowup: int = 2
     queries: int = 32
-    arity: int = 4
+    arity: int = 4           # Merkle tree fan-in
+    fold_factor: int = 4     # F-to-1 folds per FRI layer
     final_len: int = 32  # ship the tail in the clear at this coeff length
 
     def __post_init__(self):
         assert self.blowup >= 2 and self.blowup & (self.blowup - 1) == 0
         assert self.arity >= 2 and self.arity & (self.arity - 1) == 0
+        f = self.fold_factor
+        assert f in (2, 4, 8, 16)
         assert self.final_len >= 1 and self.final_len & (self.final_len - 1) == 0
         assert self.queries >= 1
 
@@ -110,10 +120,11 @@ class BatchedFriConfig:
 @dataclass
 class BatchedFriResult:
     """Truthy verification result carrying the authenticated query rows
-    (index, row values at idx, row values at idx + N/2) for outer protocols
-    (stark/fast.py) to impose their own row relations."""
+    for outer protocols (stark/fast.py) to impose their own row relations:
+    per query, (index, vals) where vals[t][b] is polynomial b's value at
+    coset point t of the queried index."""
 
-    rows: List[Tuple[int, List, List]]
+    rows: List[Tuple[int, List]]
 
     def __bool__(self) -> bool:
         return True
@@ -126,8 +137,8 @@ class BatchedFriProof:
     batch_root: bytes
     layer_roots: List[bytes]    # layers 1..R-1
     final_coeffs: List          # layer R coefficients, in the clear
-    batch_openings: List[Tuple[IndexMerklePath, IndexMerklePath]]   # per query
-    layer_openings: List[List[Tuple[IndexMerklePath, IndexMerklePath]]]
+    batch_openings: List[IndexMerklePath]          # one coset row per query
+    layer_openings: List[List[IndexMerklePath]]    # [query][layer-1]
 
 
 def _scalar_bytes(field, s) -> bytes:
@@ -162,7 +173,7 @@ def _rows_to_comps_jit(limbed: bool, rows):
     return jnp.stack([flat, jnp.zeros_like(flat)], axis=-1)
 
 
-_fold_jit = jax.jit(fold_even_odd, static_argnums=0)
+_fold_factor_jit = jax.jit(fold_factor, static_argnums=(0, 3))
 _mix_jit = jax.jit(mix_columns, static_argnums=0)
 
 
@@ -226,24 +237,43 @@ class BatchedFri:
     def _transcript(self, b: int, n: int) -> FastTranscript:
         tr = FastTranscript(b"batched-fri")
         tr.absorb(
-            b"%d/%d/%d/%d/%d/%d"
-            % (b, n, self.cfg.blowup, self.cfg.arity, self.cfg.queries,
-               self.cfg.final_len)
+            b"%d/%d/%d/%d/%d/%d/%d"
+            % (b, n, self.cfg.blowup, self.cfg.arity, self.cfg.fold_factor,
+               self.cfg.queries, self.cfg.final_len)
         )
         return tr
 
     def _n_folds(self, n: int) -> int:
+        """Smallest R with n / F^R <= final_len."""
         assert n > self.cfg.final_len, "nothing to fold — ship the polys"
-        return (n // self.cfg.final_len).bit_length() - 1
+        F, R, m = self.cfg.fold_factor, 0, n
+        while m > self.cfg.final_len:
+            assert m % F == 0, f"coeff length {n} not foldable by {F} down to {self.cfg.final_len}"
+            m //= F
+            R += 1
+        return R
+
+    def _coset_rows(self, evals, F: int):
+        """codeword(s) -> coset-grouped tree rows.
+
+        (N, *elem) -> (N/F, F, *elem); (B, N, *elem) -> (N/F, B, F, *elem).
+        Row i holds the values at domain indices {i + t*N/F}."""
+        if evals.ndim == 1 + len(self.ke.elem_axes):
+            N = evals.shape[0]
+            a = evals.reshape((F, N // F) + evals.shape[1:])
+            return jnp.moveaxis(a, 1, 0)
+        B, N = evals.shape[0], evals.shape[1]
+        a = evals.reshape((B, F, N // F) + evals.shape[2:])
+        return jnp.transpose(a, (2, 0, 1) + tuple(range(3, a.ndim)))
 
     # ------------------------------------------------------------- prove
     def commit(self, polys) -> IndexMerkleTree:
         """The batched commitment: LDE all B polynomials (one batched
-        component NTT) + one wide-arity row tree. Benchmarked standalone
-        (BASELINE config 4)."""
+        component NTT) + one wide-arity coset-row tree. Benchmarked
+        standalone (BASELINE config 4)."""
         N = self.cfg.blowup * int(polys.shape[1])
         evals0 = self._fft_batched(polys, N)        # (B, N, *elem)
-        return self._tree(jnp.moveaxis(evals0, 0, 1))
+        return self._tree(self._coset_rows(evals0, self.cfg.fold_factor))
 
     def prove(self, polys, transcript: FastTranscript = None) -> BatchedFriProof:
         """polys: packed (B, n, *ke.elem) ext coefficient array (device).
@@ -252,6 +282,7 @@ class BatchedFri:
         (stark/fast.py); a fresh one is derived when omitted."""
         cfg = self.cfg
         ext, ke = self.ext, self.ke
+        F = cfg.fold_factor
         b, n = int(polys.shape[0]), int(polys.shape[1])
         assert n & (n - 1) == 0
         N = cfg.blowup * n
@@ -266,33 +297,27 @@ class BatchedFri:
         cur = _mix_jit(ke, polys, weights)          # g coeffs (n, *elem)
 
         layer_trees: List[IndexMerkleTree] = []
-        alphas = []
         for r in range(R):
             alpha = tr.challenge_scalar(ext)
-            alphas.append(alpha)
-            cur = _fold_jit(ke, cur, jnp.asarray(ke.pack_scalar(alpha)))
+            cur = _fold_factor_jit(ke, cur, jnp.asarray(ke.pack_scalar(alpha)), F)
             if r < R - 1:
-                cw = self._fft_batched(cur, N >> (r + 1))
-                t = self._tree(cw)
+                cw = self._fft_batched(cur, N // F ** (r + 1))
+                t = self._tree(self._coset_rows(cw, F))
                 layer_trees.append(t)
                 tr.absorb(t.root())
 
         final_coeffs = ke.unpack(np.asarray(cur))
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in final_coeffs))
 
-        idxs = tr.challenge_indices(cfg.queries, N // 2)
+        idxs = tr.challenge_indices(cfg.queries, N // F)
 
-        batch_openings = self._open_pairs(batch_tree, [(i, i + N // 2) for i in idxs])
+        batch_openings = batch_tree.open_many(idxs)
         layer_openings: List[List] = [[] for _ in idxs]
         for r, t in enumerate(layer_trees, start=1):
-            Nr = N >> r
-            pairs = []
-            for i in idxs:
-                ir = i % (Nr // 2)
-                pairs.append((ir, ir + Nr // 2))
-            opened = self._open_pairs(t, pairs)
-            for qi, pair in enumerate(opened):
-                layer_openings[qi].append(pair)
+            half = (N // F ** r) // F
+            opened = t.open_many([i % half for i in idxs])
+            for qi, p in enumerate(opened):
+                layer_openings[qi].append(p)
 
         return BatchedFriProof(
             b=b, n=n, batch_root=batch_tree.root(),
@@ -301,88 +326,100 @@ class BatchedFri:
             batch_openings=batch_openings, layer_openings=layer_openings,
         )
 
-    @staticmethod
-    def _open_pairs(tree: IndexMerkleTree, pairs):
-        flat = [i for p in pairs for i in p]
-        opened = tree.open_many(flat)
-        return [(opened[2 * q], opened[2 * q + 1]) for q in range(len(pairs))]
-
     # ------------------------------------------------------------- verify
     def verify(self, proof: BatchedFriProof,
                transcript: FastTranscript = None) -> "BatchedFriResult":
         cfg = self.cfg
         ext = self.ext
         b, n = proof.b, proof.n
+        F = cfg.fold_factor
         N = cfg.blowup * n
         R = self._n_folds(n)
         assert len(proof.layer_roots) == R - 1
-        assert len(proof.final_coeffs) <= n >> R
+        assert len(proof.final_coeffs) <= max(n // F ** R, 1)
 
         tr = transcript if transcript is not None else self._transcript(b, n)
         tr.absorb(proof.batch_root)
         rho = tr.challenge_scalar(ext)
+        # transcript order mirrors prove: alpha_0, root_1, alpha_1, root_2, …
         alphas = []
         for r in range(R):
             alphas.append(tr.challenge_scalar(ext))
             if r < R - 1:
                 tr.absorb(proof.layer_roots[r])
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in proof.final_coeffs))
-        idxs = tr.challenge_indices(cfg.queries, N // 2)
+        idxs = tr.challenge_indices(cfg.queries, N // F)
 
-        half = ext.inv(ext.from_int(2))
+        inv_F = ext.inv(ext.from_int(F))
         rho_pows = [ext.pow(rho, j) for j in range(b)]
         w0 = ext.get_root_of_unity(N)
 
+        def fold_check(vals, x, wF_inv_pows, alpha):
+            """vals[t] = layer(x * wF^t) -> layer_{+1}(x^F) via inverse
+            F-DFT: f_j(x^F) = (1/F) x^-j sum_t wF^{-tj} vals[t]."""
+            x_inv = ext.inv(x)
+            acc = ext.zero()
+            a_pow = ext.one()
+            xj = ext.one()
+            for j in range(F):
+                s = ext.zero()
+                for t in range(F):
+                    s = ext.add(s, ext.mul(wF_inv_pows[(t * j) % F], vals[t]))
+                fj = ext.mul(ext.mul(s, inv_F), xj)
+                acc = ext.add(acc, ext.mul(a_pow, fj))
+                a_pow = ext.mul(a_pow, alpha)
+                xj = ext.mul(xj, x_inv)
+            return acc
+
+        # per-layer domain generators and F-th-root inverse powers
+        w_r = [w0]
+        for r in range(1, R):
+            w_r.append(ext.pow(w_r[-1], F))
+        wF_inv = []
+        for r in range(R):
+            Nr = N // F ** r
+            wf = ext.pow(w_r[r], Nr // F)
+            wfi = ext.inv(wf)
+            wF_inv.append([ext.pow(wfi, t) for t in range(F)])
+
         rows = []
         for qi, idx in enumerate(idxs):
-            pu, pv = proof.batch_openings[qi]
+            p0 = proof.batch_openings[qi]
             assert IndexMerkleTree.verify_path(
-                proof.batch_root, N, cfg.arity, idx, pu
-            ), "batch path u"
-            assert IndexMerkleTree.verify_path(
-                proof.batch_root, N, cfg.arity, idx + N // 2, pv
-            ), "batch path v"
-            fu = _row_values(ext, pu.row, b)
-            fv = _row_values(ext, pv.row, b)
-            u = v = ext.zero()
-            for j in range(b):
-                u = ext.add(u, ext.mul(rho_pows[j], fu[j]))
-                v = ext.add(v, ext.mul(rho_pows[j], fv[j]))
+                proof.batch_root, N // F, cfg.arity, idx, p0
+            ), "batch path"
+            flat = _row_values(ext, p0.row, b * F)
+            fvals = [[flat[bj * F + t] for bj in range(b)] for t in range(F)]
+            coset = []
+            for t in range(F):
+                g = ext.zero()
+                for bj in range(b):
+                    g = ext.add(g, ext.mul(rho_pows[bj], fvals[t][bj]))
+                coset.append(g)
 
-            pos = idx                 # position of u in the current layer
+            pos = idx                       # i_r in [0, N_r / F)
             x = ext.pow(w0, idx)
             for r in range(R):
-                Nr = N >> r
-                # fold: layer_{r+1}(x^2) = (u+v)/2 + alpha*(u-v)/(2x)
-                even = ext.mul(ext.add(u, v), half)
-                odd = ext.mul(ext.mul(ext.sub(u, v), half), ext.inv(x))
-                expected = ext.add(even, ext.mul(alphas[r], odd))
-                nxt_pos = pos              # i_{r-1} indexes layer r+1 directly
-                x = ext.mul(x, x)
+                expected = fold_check(coset, x, wF_inv[r], alphas[r])
+                q = pos                     # position in layer r+1
+                x = ext.pow(x, F)           # w_{r+1}^q
                 if r < R - 1:
-                    Nn = Nr // 2
-                    ir = nxt_pos % (Nn // 2)
-                    pu, pv = proof.layer_openings[qi][r]
-                    root = proof.layer_roots[r]
+                    Nn = N // F ** (r + 1)
+                    ir = q % (Nn // F)
+                    t_p = q // (Nn // F)
+                    p = proof.layer_openings[qi][r]
                     assert IndexMerkleTree.verify_path(
-                        root, Nn, cfg.arity, ir, pu
-                    ), f"layer {r+1} path u"
-                    assert IndexMerkleTree.verify_path(
-                        root, Nn, cfg.arity, ir + Nn // 2, pv
-                    ), f"layer {r+1} path v"
-                    u = _row_values(ext, pu.row, 1)[0]
-                    v = _row_values(ext, pv.row, 1)[0]
-                    got = u if nxt_pos < Nn // 2 else v
-                    assert got == expected, f"fold mismatch at layer {r+1}"
-                    if nxt_pos >= Nn // 2:
-                        # u corresponds to ir; adjust x to w_{r+1}^{ir}
-                        x = ext.neg(x)
+                        proof.layer_roots[r], Nn // F, cfg.arity, ir, p
+                    ), f"layer {r+1} path"
+                    coset = _row_values(ext, p.row, F)
+                    assert coset[t_p] == expected, f"fold mismatch at layer {r+1}"
+                    # x currently = w_{r+1}^q = w_{r+1}^{ir} * wF^{t_p}
+                    x = ext.mul(x, ext.pow(wF_inv[r + 1][1], t_p))
                     pos = ir
                 else:
-                    # evaluate the plaintext tail at x (already squared)
                     acc = ext.zero()
                     for c in reversed(proof.final_coeffs):
                         acc = ext.add(ext.mul(acc, x), c)
                     assert acc == expected, "final layer mismatch"
-            rows.append((idx, fu, fv))
+            rows.append((idx, fvals))
         return BatchedFriResult(rows=rows)

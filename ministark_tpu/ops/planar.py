@@ -200,6 +200,25 @@ def fold_planes(pc: PlanarCalc, pl, alpha_planes):
     return pc.add(even, pc.mul(odd, pc.bc(alpha_planes, odd)))
 
 
+def fold_factor_planes(pc: PlanarCalc, pl, alpha_planes, F: int):
+    """(C, m) -> (C, m/F): sum_j alpha^j * c[F*i + j] (F-way coefficient
+    fold, the production FRI round with folding factor F)."""
+    m = pl.shape[-1]
+    assert m % F == 0
+    if m % (F * _ROW) == 0:
+        w = pl.reshape(pl.shape[:-1] + (m // _ROW, _ROW))
+        parts = [w[..., j::F].reshape(pl.shape[:-1] + (m // F,)) for j in range(F)]
+    else:
+        parts = [pl[..., j::F] for j in range(F)]
+    acc = parts[0]
+    a_pow = alpha_planes
+    for j in range(1, F):
+        acc = pc.add(acc, pc.mul(parts[j], pc.bc(a_pow, parts[j])))
+        if j + 1 < F:
+            a_pow = pc.mul(a_pow.reshape(pc.C, 1), alpha_planes.reshape(pc.C, 1)).reshape(pc.C)
+    return acc
+
+
 def powers_planes(pc: PlanarCalc, x_planes, m: int):
     """(C,) scalar -> (C, m) = [1, x, ..., x^(m-1)] (exponent-bit ladder)."""
     pw = pc.one_bc(jnp.zeros((pc.C, m), jnp.uint32))

@@ -174,6 +174,27 @@ def fold_even_odd(k: FieldKernels, coeffs, alpha):
     return k.add(even, k.mul(odd, jnp.broadcast_to(alpha, odd.shape)))
 
 
+def fold_factor(k: FieldKernels, coeffs, alpha, F: int):
+    """sum_j alpha^j * coeffs[F*i + j]: F-way coefficient fold (production
+    FRI folding factor; F == 2 is the reference's even/odd fold)."""
+    from .planar import fold_factor_planes, get_planar
+
+    n = coeffs.shape[0]
+    assert n % F == 0
+    pc = get_planar(k)
+    if pc is not None and n >= PLANAR_MIN:
+        out = fold_factor_planes(pc, pc.to_planes(coeffs),
+                                 pc.scalar_planes(alpha), F)
+        return pc.from_planes(out)
+    acc = coeffs[0::F]
+    a_pow = alpha
+    for j in range(1, F):
+        acc = k.add(acc, k.mul(coeffs[j::F], jnp.broadcast_to(a_pow, acc.shape)))
+        if j + 1 < F:
+            a_pow = k.mul(a_pow, alpha)
+    return acc
+
+
 def mix_columns(k: FieldKernels, cols, weights):
     """sum_i weights[i] * cols[i]; cols: (w, n, *elem), weights: (w, *elem)."""
     w = cols.shape[0]

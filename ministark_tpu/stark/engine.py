@@ -760,10 +760,30 @@ def _pad_to_jit(ke, arr, n):
     return jnp.concatenate([arr, pad], axis=0)
 
 
+@partial(jax.jit, static_argnums=0)
+def _fold_div_fused(ke, coeffs, zp, ap, dv, zinv_scale):
+    """The whole fold round in ONE executable (TPU: each dispatch costs a
+    ~40 ms tunnel round trip; the graph-size compile blowup that forces the
+    split below is XLA:CPU-specific)."""
+    n = coeffs.shape[0]
+    folded = fold_even_odd(ke, coeffs, ap)
+    folded = jax.lax.optimization_barrier(folded)
+    zero = jnp.zeros_like(dv)
+    folded = jnp.concatenate(
+        [ke.sub(folded[0:1], dv[None]), ke.sub(folded[1:2], zero[None]),
+         folded[2:]], axis=0,
+    )
+    q = synth_div_suffix(ke, folded, zp, zinv_scale)
+    pad = jnp.zeros((n - q.shape[0],) + tuple(q.shape[1:]), dtype=jnp.uint32)
+    return jnp.concatenate([q, pad], axis=0)
+
+
 def _fold_div_jit(ke, coeffs, zp, ap, dv, zinv_scale):
     """One FRI fold round on fixed-size padded coefficients: fold even/odd,
     subtract the DEEP value at x^0, divide by (x - z), pad back to the input
     length so every round reuses the same compiled executables."""
+    if jax.default_backend() != "cpu":
+        return _fold_div_fused(ke, coeffs, zp, ap, dv, zinv_scale)
     n = coeffs.shape[0]
     folded = _fold_jit(ke, coeffs, ap)
     zero = jnp.zeros_like(dv)

@@ -59,7 +59,8 @@ class FastStarkConfig:
     queries: int = 32          # FRI query indices
     point_queries: int = 2     # random-point DEEP checks (each ~|ext|^-1)
     blowup: int = 2
-    arity: int = 4
+    arity: int = 4             # Merkle fan-in
+    fold_factor: int = 4       # FRI F-to-1 folds per layer
     final_len: int = 32
 
 
@@ -72,8 +73,8 @@ class FastStarkProof:
 
     def size_bytes(self) -> int:
         fp = self.fri_proof
-        paths = [p for pair in fp.batch_openings for p in pair]
-        paths += [p for q in fp.layer_openings for pair in q for p in pair]
+        paths = list(fp.batch_openings)
+        paths += [p for q in fp.layer_openings for p in q]
         return (
             32 * (1 + len(fp.layer_roots))
             + sum(len(p.row) + sum(len(g) for g in p.groups) for p in paths)
@@ -97,7 +98,8 @@ class FastStark:
         self.mesh_axis = mesh_axis
         self.fri = BatchedFri(BatchedFriConfig(
             self.ext, blowup=config.blowup, queries=config.queries,
-            arity=config.arity, final_len=config.final_len,
+            arity=config.arity, fold_factor=config.fold_factor,
+            final_len=config.final_len,
         ), mesh=mesh, mesh_axis=mesh_axis)
 
     def _transcript(self, width: int, n_transitions: int, n: int) -> FastTranscript:
@@ -183,8 +185,8 @@ class FastStark:
 
         res = self.fri.verify(proof.fri_proof, transcript=tr)
         assert proof.fri_proof.b == total + 1
-        for _idx, fu, fv in res.rows:
-            for row in (fu, fv):
+        for _idx, fvals in res.rows:
+            for row in fvals:  # one row of (total+1) values per coset point
                 acc = ext.zero()
                 for i in range(total):
                     acc = ext.add(acc, ext.mul(r_pows[i], row[i]))

@@ -76,7 +76,7 @@ def proof_to_json(stark_field, proof: StarkProof) -> str:
 # production format (parity proofs keep the readable JSON envelope above).
 # ---------------------------------------------------------------------------
 
-_FAST_MAGIC = b"MSF1"
+_FAST_MAGIC = b"MSF2"
 
 
 def _w_bytes(out: bytearray, b: bytes, width: int = 4):
@@ -126,14 +126,13 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
     for c in fp.final_coeffs:
         _w_bytes(out, ext.serialize_compressed(c), 1)
 
-    def w_openings(pairs):
-        out.extend(len(pairs).to_bytes(2, "little"))
-        for pu, pv in pairs:
-            for p in (pu, pv):
-                _w_bytes(out, p.row)
-                out.extend(len(p.groups).to_bytes(1, "little"))
-                for g in p.groups:
-                    _w_bytes(out, g, 2)
+    def w_openings(paths):
+        out.extend(len(paths).to_bytes(2, "little"))
+        for p in paths:
+            _w_bytes(out, p.row)
+            out.extend(len(p.groups).to_bytes(1, "little"))
+            for g in p.groups:
+                _w_bytes(out, g, 2)
 
     w_openings(fp.batch_openings)
     out += len(fp.layer_openings).to_bytes(2, "little")
@@ -167,15 +166,12 @@ def fast_proof_from_bytes(stark_field, data: bytes):
     final_coeffs = [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(4))]
 
     def r_openings():
-        pairs = []
+        paths = []
         for _ in range(r.u(2)):
-            ps = []
-            for _ in range(2):
-                row = r.blob()
-                groups = [r.blob(2) for _ in range(r.u(1))]
-                ps.append(IndexMerklePath(row=row, groups=groups))
-            pairs.append((ps[0], ps[1]))
-        return pairs
+            row = r.blob()
+            groups = [r.blob(2) for _ in range(r.u(1))]
+            paths.append(IndexMerklePath(row=row, groups=groups))
+        return paths
 
     batch_openings = r_openings()
     layer_openings = [r_openings() for _ in range(r.u(2))]

@@ -21,19 +21,21 @@ def _rand_polys(ext, b, n, seed=0):
     return np.asarray(ke.pack(vals)).reshape((b, n) + ke.elem_axes)
 
 
-@pytest.mark.parametrize("sf,arity", [
-    (Goldilocks, 2), (Goldilocks, 4), (Goldilocks, 8), (BabyBear, 4),
+@pytest.mark.parametrize("sf,arity,ff", [
+    (Goldilocks, 2, 2), (Goldilocks, 4, 4), (Goldilocks, 8, 4),
+    (Goldilocks, 4, 8), (BabyBear, 4, 4),
 ])
-def test_batched_fri_roundtrip(sf, arity):
+def test_batched_fri_roundtrip(sf, arity, ff):
     ext = sf.extension
-    cfg = BatchedFriConfig(ext, blowup=2, queries=8, arity=arity, final_len=8)
+    cfg = BatchedFriConfig(ext, blowup=2, queries=8, arity=arity,
+                           fold_factor=ff, final_len=8)
     fri = BatchedFri(cfg)
-    polys = _rand_polys(ext, b=3, n=256)
+    polys = _rand_polys(ext, b=3, n=512)
     proof = fri.prove(polys)
     assert fri.verify(proof)
     # proof shape sanity
-    assert len(proof.layer_roots) == fri._n_folds(256) - 1
-    assert len(proof.final_coeffs) == 8
+    assert len(proof.layer_roots) == fri._n_folds(512) - 1
+    assert len(proof.final_coeffs) == 512 // ff ** fri._n_folds(512)
     assert len(proof.batch_openings) == 8
 
 
@@ -47,17 +49,17 @@ def test_batched_fri_rejects_tampering():
 
     # flip a bit in an opened batch row -> leaf digest mismatch
     bad = copy.deepcopy(proof)
-    row = bytearray(bad.batch_openings[0][0].row)
+    row = bytearray(bad.batch_openings[0].row)
     row[0] ^= 1
-    bad.batch_openings[0][0].row = bytes(row)
+    bad.batch_openings[0].row = bytes(row)
     with pytest.raises(AssertionError):
         fri.verify(bad)
 
     # flip a sibling digest -> path mismatch
     bad = copy.deepcopy(proof)
-    g = bytearray(bad.batch_openings[0][1].groups[1])
+    g = bytearray(bad.batch_openings[1].groups[1])
     g[5] ^= 0xFF
-    bad.batch_openings[0][1].groups[1] = bytes(g)
+    bad.batch_openings[1].groups[1] = bytes(g)
     with pytest.raises(AssertionError):
         fri.verify(bad)
 

@@ -67,9 +67,9 @@ def test_fast_stark_rejects_tampered_evals_and_rows():
 
     # corrupt an opened batch row: Merkle path must fail
     bad = copy.deepcopy(proof)
-    row = bytearray(bad.fri_proof.batch_openings[0][0].row)
+    row = bytearray(bad.fri_proof.batch_openings[0].row)
     row[3] ^= 0x10
-    bad.fri_proof.batch_openings[0][0].row = bytes(row)
+    bad.fri_proof.batch_openings[0].row = bytes(row)
     with pytest.raises(AssertionError):
         stark.verify(cons, bad)
 

@@ -38,26 +38,26 @@ import numpy as np
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))
 
 
-def _timed_k(fn, x, iters, reps=3):
+def _time_chained(fn, x, k1=8, k2=40):
+    """Marginal per-iteration device time of x -> fn(x) by slope (two
+    static-trip-count executables; a dynamic trip count wedges this
+    environment's remote-compile service)."""
     import jax.lax as lax
 
     body = lambda i, u: lax.optimization_barrier(fn(u))
-    chain = jax.jit(lambda v: lax.fori_loop(0, iters, body, v))
-    y = chain(x)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(chain(y))
-        best = min(best, time.time() - t0)
-    return best
 
+    def timed(k, reps=3):
+        chain = jax.jit(lambda v: lax.fori_loop(0, k, body, v))
+        y = chain(x)
+        jax.block_until_ready(y)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(chain(y))
+            best = min(best, time.time() - t0)
+        return best
 
-def _time_chained(fn, x, k1=8, k2=40):
-    """Marginal per-iteration device time of x -> fn(x) by slope."""
-    t1 = _timed_k(fn, x, k1)
-    t2 = _timed_k(fn, x, k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    return max((timed(k2) - timed(k1)) / (k2 - k1), 1e-9)
 
 
 def kernel_rooflines():

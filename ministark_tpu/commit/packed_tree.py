@@ -287,10 +287,33 @@ class PackedMerkleTree:
             all_groups.append(groups)
 
         flat = [g for groups in all_groups for grp in groups for g in grp]
-        fetched = self._node_bytes(flat) if flat else []
-
         neigh_starts = [i - i % k for i in idxs]
-        all_neigh = self._leaf_rows_batch(neigh_starts, k)
+
+        if self._nodes is None and self._packed is None:
+            # both fetches live on device: dispatch the two gathers together
+            # and pull them in one device_get (one tunnel sync, not two)
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops.sha256 import digests_to_bytes
+
+            didx = jnp.asarray(np.asarray(flat, dtype=np.int64))
+            lidx = jnp.asarray(np.asarray(
+                [s + j for s in neigh_starts for j in range(k)], dtype=np.int64
+            ))
+            dig_rows, leaf_rows = jax.device_get(
+                (self._dev_digests[didx], self._dev_comps[lidx])
+            )
+            b = digests_to_bytes(dig_rows)
+            fetched = [b[i].tobytes() for i in range(len(flat))]
+            rows_u64 = comps_np_to_u64(leaf_rows)
+            all_neigh = [
+                [unpack_scalar(self.field, rows_u64[qi * k + j]) for j in range(k)]
+                for qi in range(len(neigh_starts))
+            ]
+        else:
+            fetched = self._node_bytes(flat) if flat else []
+            all_neigh = self._leaf_rows_batch(neigh_starts, k)
 
         proofs = []
         pos = 0

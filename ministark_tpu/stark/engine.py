@@ -388,13 +388,16 @@ class DeviceEngine:
             prev_gen = ext.get_root_of_unity(prev.size)
             next_gen = ext.get_root_of_unity(nxt.size)
 
-            # one batched fetch of all codeword entries this round needs
+            # one batched fetch of all codeword entries this round needs —
+            # a single device->host pull when both rounds live in HBM
+            # (each pull costs a full tunnel round trip)
             red_betas = [b % prev.size if b > prev.size else b for b in betas]
-            prev_reads = prev.cw_read_many(
-                [b % prev.size for b in red_betas]
-                + [(nxt.size + b) % prev.size for b in red_betas]
+            idxs_prev = ([b % prev.size for b in red_betas]
+                         + [(nxt.size + b) % prev.size for b in red_betas])
+            idxs_next = [b % nxt.size for b in red_betas]
+            prev_reads, next_reads = _read_two_codewords(
+                self.ke, prev, nxt, idxs_prev, idxs_next
             )
-            next_reads = nxt.cw_read_many([b % nxt.size for b in red_betas])
 
             round_points = []
             proof_values = []
@@ -701,6 +704,27 @@ class DeviceEngine:
                 commits[i].check_proof(ext, path2)  # ignored (§8.5)
                 prev_x3s[j] = x3
         return True
+
+
+def _read_two_codewords(ke, prev, nxt, idxs_prev, idxs_next):
+    """Fetch entries from two rounds' codewords; merges into ONE transfer
+    when both are device-resident."""
+    if (
+        prev.device and nxt.device
+        and isinstance(prev.codeword, jax.Array)
+        and isinstance(nxt.codeword, jax.Array)
+    ):
+        i1 = jnp.asarray(np.asarray(idxs_prev, dtype=np.int64))
+        i2 = jnp.asarray(np.asarray(idxs_next, dtype=np.int64))
+        rows = np.asarray(_gather_two_jit(prev.codeword, nxt.codeword, i1, i2))
+        vals = ke.unpack(rows)
+        return vals[: len(idxs_prev)], vals[len(idxs_prev):]
+    return prev.cw_read_many(idxs_prev), nxt.cw_read_many(idxs_next)
+
+
+@jax.jit
+def _gather_two_jit(a, b, i1, i2):
+    return jnp.concatenate([a[i1], b[i2]], axis=0)
 
 
 @dataclass

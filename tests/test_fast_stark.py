@@ -109,3 +109,38 @@ def test_fast_stark_sharded_byte_identical():
     mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
     sharded = FastStark(cfg, mesh=mesh).prove(trace)
     assert fast_proof_to_bytes(sf, sharded) == fast_proof_to_bytes(sf, single)
+
+
+def test_fast_proof_random_tamper_sweep():
+    """Any single-byte corruption of a serialized fast proof must be
+    rejected (decode error or verification failure) — never accepted."""
+    import random
+
+    from ministark_tpu.stark.proof_io import (
+        fast_proof_from_bytes,
+        fast_proof_to_bytes,
+    )
+
+    sf = Goldilocks
+    steps = 60
+    trace = fibonacci_device_trace(sf, steps)
+    stark = FastStark(FastStarkConfig(sf, steps, queries=4, final_len=8))
+    cons = _constrains(stark, trace)
+    blob = bytearray(fast_proof_to_bytes(sf, stark.prove(trace)))
+
+    rng = random.Random(1234)
+    for _ in range(24):
+        pos = rng.randrange(4, len(blob))   # skip magic (decode-only reject)
+        old = blob[pos]
+        blob[pos] ^= 1 << rng.randrange(8)
+        try:
+            bad = fast_proof_from_bytes(sf, bytes(blob))
+            accepted = False
+            try:
+                accepted = stark.verify(cons, bad)
+            except (AssertionError, ValueError, IndexError, OverflowError):
+                pass
+            assert not accepted, f"tampered byte {pos} accepted"
+        except (AssertionError, ValueError, IndexError, OverflowError):
+            pass  # decode rejected it — fine
+        blob[pos] = old

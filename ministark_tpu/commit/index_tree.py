@@ -123,11 +123,14 @@ class IndexMerklePath:
 
 
 class IndexMerkleTree:
-    def __init__(self, comps, arity: int = 2, mesh=None, mesh_axis: str = "shards"):
+    def __init__(self, comps, arity: int = 2, mesh=None, mesh_axis: str = "shards",
+                 digests=None):
         """comps: (n, C, 2) u32 [lo, hi] row components (device or host).
 
         ``mesh``: optional jax.sharding.Mesh — shards the leaf hashing and
-        lower levels across devices (digest-identical to single-device)."""
+        lower levels across devices (digest-identical to single-device).
+        ``digests``: precomputed level digests (from a fused builder jit,
+        e.g. fri/batched._rows_tree_jit) — skips the build."""
         assert arity >= 2 and arity & (arity - 1) == 0
         n = int(comps.shape[0])
         assert n & (n - 1) == 0, "leaf count must be a power of two"
@@ -136,7 +139,9 @@ class IndexMerkleTree:
         self.sizes = _level_sizes(n, arity)
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
         self._comps = comps
-        if mesh is not None and n % mesh.shape[mesh_axis] == 0 \
+        if digests is not None:
+            self._digests = digests
+        elif mesh is not None and n % mesh.shape[mesh_axis] == 0 \
                 and n > mesh.shape[mesh_axis]:
             self._digests = _build_digests_sharded(
                 jnp.asarray(comps), arity, mesh, mesh_axis

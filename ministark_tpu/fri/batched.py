@@ -163,6 +163,20 @@ def _row_values(field, row: bytes, count: int) -> List:
 
 
 # --------------------------------------------------------------- device ops
+@partial(jax.jit, static_argnums=(0, 1))
+def _rows_tree_jit(limbed: bool, arity: int, rows):
+    """rows -> (comps, all tree level digests) in one executable."""
+    from ..commit.index_tree import _build_digests
+
+    n = rows.shape[0]
+    if limbed:
+        comps = rows.reshape(n, -1, 2)
+    else:
+        flat = rows.reshape(n, -1)
+        comps = jnp.stack([flat, jnp.zeros_like(flat)], axis=-1)
+    return comps, _build_digests(comps, arity)
+
+
 @partial(jax.jit, static_argnums=0)
 def _rows_to_comps_jit(limbed: bool, rows):
     """(N, ..., *elem) packed rows -> (N, C, 2) u32 [lo, hi] for hashing."""
@@ -229,10 +243,14 @@ class BatchedFri:
         return kb.elem_axes == (2,)
 
     def _tree(self, rows) -> IndexMerkleTree:
-        return IndexMerkleTree(
-            _rows_to_comps_jit(self._limbed(), rows), self.cfg.arity,
-            mesh=self.mesh, mesh_axis=self.mesh_axis,
-        )
+        if self.mesh is not None:
+            return IndexMerkleTree(
+                _rows_to_comps_jit(self._limbed(), rows), self.cfg.arity,
+                mesh=self.mesh, mesh_axis=self.mesh_axis,
+            )
+        # single device: comps conversion + whole tree in ONE executable
+        comps, digests = _rows_tree_jit(self._limbed(), self.cfg.arity, rows)
+        return IndexMerkleTree(comps, self.cfg.arity, digests=digests)
 
     def _transcript(self, b: int, n: int) -> FastTranscript:
         tr = FastTranscript(b"batched-fri")

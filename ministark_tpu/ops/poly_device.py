@@ -93,6 +93,26 @@ def eval_poly(k: FieldKernels, coeffs, x):
     return field_sum(k, k.mul(coeffs, pw), axis=0)
 
 
+def eval_many(k: FieldKernels, coeffs_batch, x):
+    """Evaluate B polynomials at one point: (B, n, *elem), (*elem) -> (B, *elem).
+    The powers ladder is shared across the batch; planar fast path above
+    PLANAR_MIN."""
+    from .planar import field_sum_planes, get_planar, powers_planes
+
+    n = coeffs_batch.shape[1]
+    pc = get_planar(k)
+    if pc is not None and n >= PLANAR_MIN:
+        pw = powers_planes(pc, pc.scalar_planes(x), n)        # (C, n)
+
+        def one(c):
+            s = field_sum_planes(pc, pc.mul(pc.to_planes(c), pw))
+            return pc.from_planes(s[:, None])[0]
+
+        return jax.vmap(one)(coeffs_batch)
+    pw = powers(k, x, n)
+    return field_sum(k, k.mul(coeffs_batch, pw[None]), axis=1)
+
+
 def eval_poly_base_coeffs_ext_point(k_ext: FieldKernels, base_coeffs, x):
     """Evaluate a base-coefficient polynomial at an extension point without
     materializing the lifted coefficients: multiply the (base-scalar) powers

@@ -39,6 +39,7 @@ from ..fri.fri import FriProof, FriRound as HostFriRound
 from ..ops.ntt_device import get_ntt_fns
 from ..ops.poly_device import (
     eval_even_odd,
+    eval_many,
     field_sum,
     fold_even_odd,
     mix_columns_jit,
@@ -848,6 +849,7 @@ def _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s):
 
 
 _powers_jit = jax.jit(powers, static_argnums=(0, 2))
+_eval_many_fused = jax.jit(eval_many, static_argnums=0)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -856,6 +858,10 @@ def _weighted_sum_jit(ke, coeffs_batch, pw):
 
 
 def _eval_many_jit(ke, coeffs_batch, xp):
+    if jax.default_backend() != "cpu":
+        # one executable (planar inside); the split below works around the
+        # XLA:CPU compile-time blowup on fused wide-integer mul chains
+        return _eval_many_fused(ke, coeffs_batch, xp)
     pw = _powers_jit(ke, xp, coeffs_batch.shape[1])
     return _weighted_sum_jit(ke, coeffs_batch, pw)
 

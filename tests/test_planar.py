@@ -109,3 +109,21 @@ def test_planar_mul_matches_host():
                                     pc.to_planes(jnp.asarray(pb))))
         got = ke.unpack(np.asarray(out))
         assert got == [ext.mul(a, b) for a, b in zip(va, vb)]
+
+
+@pytest.mark.parametrize("sf", [Goldilocks, BabyBear])
+@pytest.mark.parametrize("n", [64, 4096])
+def test_planar_eval_many_matches_host(sf, n):
+    import jax.numpy as jnp
+
+    ext = sf.extension
+    ke = get_kernels(ext)
+    B = 3
+    vals, packed = _rand_packed(ext, B * n)
+    batch = jnp.asarray(packed).reshape((B, n) + ke.elem_axes)
+    z = ext.rand(ark_test_rng())
+    out = pd.eval_many(ke, batch, jnp.asarray(ke.pack_scalar(z)))
+    got = ke.unpack(np.asarray(out))
+    want = [DensePolynomial(ext, vals[i * n:(i + 1) * n]).evaluate(z)
+            for i in range(B)]
+    assert got == want

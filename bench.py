@@ -191,6 +191,23 @@ def main():
     )
 
 
+def _tunnel_alive(timeout_s: int = 90) -> bool:
+    """Probe the TPU backend in a short-lived subprocess: when the tunnel
+    service is wedged, jax.devices() hangs indefinitely (even CPU requests
+    via the preloaded plugin), so never probe in-process."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def orchestrate():
     """Run the measurement in subprocesses with retries: the environment's
     remote-compile service intermittently wedges for many minutes; a killed
@@ -199,6 +216,13 @@ def orchestrate():
     import subprocess
 
     here = os.path.abspath(__file__)
+    # if the tunnel is down, wait it out (up to ~20 min) before burning
+    # measurement budgets on hung subprocesses
+    for _ in range(10):
+        if _tunnel_alive():
+            break
+        print("# TPU tunnel unresponsive; waiting 120s", file=sys.stderr)
+        time.sleep(120)
     tries = [
         (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 2100),
         (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 2100),

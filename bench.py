@@ -49,8 +49,13 @@ def device_prove(steps):
 
     sf = _field()
     on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
-    if os.environ.get("BENCH_MODEL", "fibonacci") == "counter":
+    model = os.environ.get("BENCH_MODEL", "fibonacci")
+    if model == "counter":
         dtrace = counter_device_trace(sf, steps, on_device=on_dev)
+    elif model == "lfsr":
+        from ministark_tpu.models.lfsr import lfsr_device_trace
+
+        dtrace = lfsr_device_trace(sf, steps)
     else:
         dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
     cfg = StarkConfig(sf, 20, 2, steps, dtrace.constrain_number())
@@ -80,8 +85,13 @@ def fast_prove(steps):
 
     sf = _field()
     on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
-    if os.environ.get("BENCH_MODEL", "fibonacci") == "counter":
+    model = os.environ.get("BENCH_MODEL", "fibonacci")
+    if model == "counter":
         dtrace = counter_device_trace(sf, steps, on_device=on_dev)
+    elif model == "lfsr":
+        from ministark_tpu.models.lfsr import lfsr_device_trace
+
+        dtrace = lfsr_device_trace(sf, steps)
     else:
         dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
     stark = FastStark(FastStarkConfig(

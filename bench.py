@@ -39,25 +39,48 @@ def _field():
     ]
 
 
+def _device_trace(sf, steps):
+    """The BENCH_MODEL trace for the device provers (one selection point)."""
+    on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
+    model = os.environ.get("BENCH_MODEL", "fibonacci")
+    if model == "counter":
+        from ministark_tpu.models.counter import counter_device_trace
+
+        return counter_device_trace(sf, steps, on_device=on_dev)
+    if model == "lfsr":
+        from ministark_tpu.models.lfsr import lfsr_device_trace
+
+        return lfsr_device_trace(sf, steps)
+    from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
+
+    return fibonacci_device_trace(sf, steps, on_device=on_dev)
+
+
+def _host_claim(base, steps):
+    """The matching host-oracle claim/witness for BENCH_MODEL."""
+    model = os.environ.get("BENCH_MODEL", "fibonacci")
+    if model == "counter":
+        from ministark_tpu.models.counter import CounterClaim
+
+        return CounterClaim(field=base, steps=steps), None
+    if model == "lfsr":
+        from ministark_tpu.models.lfsr import LfsrClaim
+
+        return LfsrClaim(field=base, steps=steps), None
+    from ministark_tpu.models import FibonacciClaim, Witness
+
+    return (FibonacciClaim(field=base, step=steps, output=base.from_int(13)),
+            Witness(secret_b=base.from_int(2)))
+
+
 def device_prove(steps):
     import jax.numpy as jnp
 
-    from ministark_tpu.models.counter import counter_device_trace
-    from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
     from ministark_tpu.stark import StarkConfig
     from ministark_tpu.stark.engine import DeviceEngine
 
     sf = _field()
-    on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
-    model = os.environ.get("BENCH_MODEL", "fibonacci")
-    if model == "counter":
-        dtrace = counter_device_trace(sf, steps, on_device=on_dev)
-    elif model == "lfsr":
-        from ministark_tpu.models.lfsr import lfsr_device_trace
-
-        dtrace = lfsr_device_trace(sf, steps)
-    else:
-        dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
+    dtrace = _device_trace(sf, steps)
     cfg = StarkConfig(sf, 20, 2, steps, dtrace.constrain_number())
     engine = DeviceEngine(cfg)
 
@@ -79,21 +102,10 @@ def device_prove(steps):
 def fast_prove(steps):
     """BENCH_MODE=fast: the non-parity FastStark (batched FRI, 4-ary
     trees, binary row hashing — BASELINE config 4)."""
-    from ministark_tpu.models.counter import counter_device_trace
-    from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
     from ministark_tpu.stark.fast import FastStark, FastStarkConfig
 
     sf = _field()
-    on_dev = os.environ.get("BENCH_TRACE_DEVICE", "1") == "1"
-    model = os.environ.get("BENCH_MODEL", "fibonacci")
-    if model == "counter":
-        dtrace = counter_device_trace(sf, steps, on_device=on_dev)
-    elif model == "lfsr":
-        from ministark_tpu.models.lfsr import lfsr_device_trace
-
-        dtrace = lfsr_device_trace(sf, steps)
-    else:
-        dtrace = fibonacci_device_trace(sf, steps, on_device=on_dev)
+    dtrace = _device_trace(sf, steps)
     stark = FastStark(FastStarkConfig(
         sf, steps, queries=32, arity=int(os.environ.get("BENCH_ARITY", "4")),
     ))
@@ -113,21 +125,13 @@ def fast_prove(steps):
 
 
 def host_prove(steps):
-    from ministark_tpu.models import FibonacciClaim, Witness
-    from ministark_tpu.models.counter import CounterClaim
     from ministark_tpu.ops import set_device_enabled
     from ministark_tpu.stark import Stark, StarkConfig
 
     sf = _field()
     set_device_enabled(False)
     try:
-        base = sf.base
-        if os.environ.get("BENCH_MODEL", "fibonacci") == "counter":
-            claim = CounterClaim(field=base, steps=steps)
-            witness = None
-        else:
-            claim = FibonacciClaim(field=base, step=steps, output=base.from_int(13))
-            witness = Witness(secret_b=base.from_int(2))
+        claim, witness = _host_claim(sf.base, steps)
         trace = claim.trace(witness)
         cfg = StarkConfig(sf, 20, 2, steps, trace.constrain_number())
         stark = Stark(cfg)

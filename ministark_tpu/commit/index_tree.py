@@ -149,8 +149,14 @@ class IndexMerkleTree:
         else:
             self._digests = _build_digests(jnp.asarray(comps), arity)
 
+    _root = None
+
     def root(self) -> bytes:
-        return digests_to_bytes(np.asarray(self._digests[-1:]))[0].tobytes()
+        if self._root is None:  # one tunnel round trip per pull — cache it
+            self._root = digests_to_bytes(
+                np.asarray(self._digests[-1:])
+            )[0].tobytes()
+        return self._root
 
     def open_many(self, indices: List[int]) -> List[IndexMerklePath]:
         """Open several leaves with ONE digest gather + ONE row gather

@@ -132,13 +132,17 @@ class BatchedFriResult:
 
 @dataclass
 class BatchedFriProof:
-    b: int                      # number of batched polynomials
+    group_sizes: List[int]      # polynomials per commitment group
     n: int                      # per-polynomial coefficient length
-    batch_root: bytes
+    group_roots: List[bytes]    # one coset-row tree per group
     layer_roots: List[bytes]    # layers 1..R-1
     final_coeffs: List          # layer R coefficients, in the clear
-    batch_openings: List[IndexMerklePath]          # one coset row per query
+    batch_openings: List[List[IndexMerklePath]]    # [query][group]
     layer_openings: List[List[IndexMerklePath]]    # [query][layer-1]
+
+    @property
+    def b(self) -> int:
+        return sum(self.group_sizes)
 
 
 def _scalar_bytes(field, s) -> bytes:
@@ -229,14 +233,11 @@ class BatchedFri:
         return jnp.moveaxis(ev, lead, lead + 1)     # (..., N, *ke.elem)
 
     def _fft_fn(self, domain_size: int):
-        if self.mesh is not None:
-            from ..parallel.ntt_sharded import can_shard, get_sharded_ntt_fns
+        from ..parallel.ntt_sharded import select_ntt_fns
 
-            if can_shard(domain_size, self.mesh.shape[self.mesh_axis]):
-                return get_sharded_ntt_fns(
-                    self._ntt_base, domain_size, self.mesh, self.mesh_axis
-                )[0]
-        return get_ntt_fns(self._ntt_base, domain_size)[0]
+        return select_ntt_fns(
+            self._ntt_base, domain_size, self.mesh, self.mesh_axis
+        )[0]
 
     def _limbed(self) -> bool:
         kb = get_kernels(self._ntt_base)
@@ -286,33 +287,50 @@ class BatchedFri:
 
     # ------------------------------------------------------------- prove
     def commit(self, polys) -> IndexMerkleTree:
-        """The batched commitment: LDE all B polynomials (one batched
-        component NTT) + one wide-arity coset-row tree. Benchmarked
-        standalone (BASELINE config 4)."""
+        """Commitment of one polynomial group: LDE all its polynomials (one
+        batched component NTT) + one wide-arity coset-row tree. Benchmarked
+        standalone (BASELINE config 4). The CALLER absorbs the root into
+        its transcript at the protocol point where the group is bound."""
         N = self.cfg.blowup * int(polys.shape[1])
         evals0 = self._fft_batched(polys, N)        # (B, N, *elem)
         return self._tree(self._coset_rows(evals0, self.cfg.fold_factor))
 
-    def prove(self, polys, transcript: FastTranscript = None) -> BatchedFriProof:
-        """polys: packed (B, n, *ke.elem) ext coefficient array (device).
+    def prove(self, polys=None, transcript: FastTranscript = None,
+              groups=None, trees=None) -> BatchedFriProof:
+        """Standalone: ``prove(polys)`` — one group, committed and absorbed
+        internally on a fresh transcript.
 
-        ``transcript``: bind the FRI into an outer protocol's transcript
-        (stark/fast.py); a fresh one is derived when omitted."""
+        Multi-group (outer protocols, stark/fast.py): ``prove(groups=[...],
+        trees=[...], transcript=tr)`` — the caller committed each group via
+        ``commit`` and absorbed every root into ``tr`` in its own protocol
+        order (possibly interleaved with its challenges); the FRI continues
+        from rho. Soundness requires every root absorbed BEFORE rho."""
         cfg = self.cfg
         ext, ke = self.ext, self.ke
         F = cfg.fold_factor
-        b, n = int(polys.shape[0]), int(polys.shape[1])
+        if groups is None:
+            assert polys is not None
+            groups = [polys]
+        n = int(groups[0].shape[1])
+        group_sizes = [int(g.shape[0]) for g in groups]
+        b = sum(group_sizes)
         assert n & (n - 1) == 0
+        assert all(int(g.shape[1]) == n for g in groups)
         N = cfg.blowup * n
         R = self._n_folds(n)
-        tr = transcript if transcript is not None else self._transcript(b, n)
-
-        batch_tree = self.commit(polys)
-        tr.absorb(batch_tree.root())
+        if trees is None:
+            assert transcript is None and len(groups) == 1
+            tr = self._transcript(b, n)
+            trees = [self.commit(groups[0])]
+            tr.absorb(trees[0].root())
+        else:
+            assert transcript is not None and len(trees) == len(groups)
+            tr = transcript
 
         rho = tr.challenge_scalar(ext)
         weights = jnp.asarray(ke.pack([ext.pow(rho, j) for j in range(b)]))
-        cur = _mix_jit(ke, polys, weights)          # g coeffs (n, *elem)
+        allp = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+        cur = _mix_jit(ke, allp, weights)           # g coeffs (n, *elem)
 
         layer_trees: List[IndexMerkleTree] = []
         for r in range(R):
@@ -329,7 +347,11 @@ class BatchedFri:
 
         idxs = tr.challenge_indices(cfg.queries, N // F)
 
-        batch_openings = batch_tree.open_many(idxs)
+        per_group = [t.open_many(idxs) for t in trees]
+        batch_openings = [
+            [per_group[g][qi] for g in range(len(trees))]
+            for qi in range(len(idxs))
+        ]
         layer_openings: List[List] = [[] for _ in idxs]
         for r, t in enumerate(layer_trees, start=1):
             half = (N // F ** r) // F
@@ -338,7 +360,8 @@ class BatchedFri:
                 layer_openings[qi].append(p)
 
         return BatchedFriProof(
-            b=b, n=n, batch_root=batch_tree.root(),
+            group_sizes=group_sizes, n=n,
+            group_roots=[t.root() for t in trees],
             layer_roots=[t.root() for t in layer_trees],
             final_coeffs=final_coeffs,
             batch_openings=batch_openings, layer_openings=layer_openings,
@@ -356,8 +379,15 @@ class BatchedFri:
         assert len(proof.layer_roots) == R - 1
         assert len(proof.final_coeffs) <= max(n // F ** R, 1)
 
-        tr = transcript if transcript is not None else self._transcript(b, n)
-        tr.absorb(proof.batch_root)
+        if transcript is None:
+            # standalone single-group protocol: absorb the commitment here.
+            # Outer protocols absorb every group root into their own
+            # transcript BEFORE calling verify (stark/fast.py).
+            assert len(proof.group_sizes) == 1
+            tr = self._transcript(b, n)
+            tr.absorb(proof.group_roots[0])
+        else:
+            tr = transcript
         rho = tr.challenge_scalar(ext)
         # transcript order mirrors prove: alpha_0, root_1, alpha_1, root_2, …
         alphas = []
@@ -402,12 +432,15 @@ class BatchedFri:
 
         rows = []
         for qi, idx in enumerate(idxs):
-            p0 = proof.batch_openings[qi]
-            assert IndexMerkleTree.verify_path(
-                proof.batch_root, N // F, cfg.arity, idx, p0
-            ), "batch path"
-            flat = _row_values(ext, p0.row, b * F)
-            fvals = [[flat[bj * F + t] for bj in range(b)] for t in range(F)]
+            fvals = [[] for _ in range(F)]       # [t] -> values over all polys
+            for gi, gsize in enumerate(proof.group_sizes):
+                p0 = proof.batch_openings[qi][gi]
+                assert IndexMerkleTree.verify_path(
+                    proof.group_roots[gi], N // F, cfg.arity, idx, p0
+                ), f"batch path group {gi}"
+                flat = _row_values(ext, p0.row, gsize * F)
+                for t in range(F):
+                    fvals[t].extend(flat[bj * F + t] for bj in range(gsize))
             coset = []
             for t in range(F):
                 g = ext.zero()

@@ -257,20 +257,8 @@ def suffix_sums_planes(pc: PlanarCalc, pl):
 
 
 def field_sum_planes(pc: PlanarCalc, pl):
-    """(C, m) -> (C,) total sum (log-tree with rolls)."""
-    m = pl.shape[-1]
-    if m == 1:
-        return pl[..., 0]
-    log_m = (m - 1).bit_length()
-    idx = jnp.arange(m)
-
-    def body(t, a):
-        s = jnp.int32(1) << t
-        rolled = jnp.roll(a, -s, axis=-1)
-        summed = pc.add(a, rolled)
-        return _mask_where(idx + s < m, summed, a)
-
-    return jax.lax.fori_loop(0, log_m, body, pl)[..., 0]
+    """(C, m) -> (C,) total sum (suffix scan, take the head)."""
+    return suffix_sums_planes(pc, pl)[..., 0]
 
 
 _ob = jax.lax.optimization_barrier

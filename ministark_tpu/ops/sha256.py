@@ -134,11 +134,13 @@ def merkle_inner_level2(digests):
 def _inner_levels_fused(leaf_digests, fan_in: int):
     """All upper levels in ONE executable (the level loop unrolls at trace
     time over static shapes — one dispatch for the whole tree instead of one
-    jit + dispatch per level size)."""
+    jit + dispatch per level size). Levels narrower than the fan-in fold
+    with whatever remains (a 2^21-leaf 4-ary tree ends with a fan-in-2
+    level)."""
     levels = []
     cur = leaf_digests
     while cur.shape[0] > 1:
-        cur = _inner_level(cur, fan_in)
+        cur = _inner_level(cur, min(fan_in, cur.shape[0]))
         levels.append(cur)
     return jnp.concatenate(levels, axis=0)
 

@@ -189,6 +189,18 @@ def get_sharded_ntt_fns(field, n: int, mesh: Mesh, axis: str = "shards"):
     return _FN_CACHE[key]
 
 
+def select_ntt_fns(field, n: int, mesh: Mesh = None, axis: str = "shards"):
+    """(fft, ifft, coset_fft, coset_ifft) — sharded over ``mesh`` when one
+    is given and the size splits over it, single-device otherwise. The one
+    place the mesh-gating rule lives (engine, batched FRI and FastStark all
+    route through here)."""
+    if mesh is not None and can_shard(n, mesh.shape[axis]):
+        return get_sharded_ntt_fns(field, n, mesh, axis)
+    from ..ops.ntt_device import get_ntt_fns
+
+    return get_ntt_fns(field, n)
+
+
 def sharded_lde(field, coeffs, domain_size: int, mesh: Mesh, axis: str = "shards"):
     """Forward NTT of zero-padded coeffs over ``domain_size`` using the mesh.
 

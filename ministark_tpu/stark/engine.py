@@ -151,13 +151,11 @@ class DeviceEngine:
     def _ntt(self, n: int):
         """(fft, ifft, coset_fft, coset_ifft) for size n — sharded over the
         engine's mesh when one is set and the size splits over it."""
-        base = self.config.stark_field.base
-        if self.mesh is not None:
-            from ..parallel.ntt_sharded import can_shard, get_sharded_ntt_fns
+        from ..parallel.ntt_sharded import select_ntt_fns
 
-            if can_shard(n, self.mesh.shape[self.mesh_axis]):
-                return get_sharded_ntt_fns(base, n, self.mesh, self.mesh_axis)
-        return get_ntt_fns(base, n)
+        return select_ntt_fns(
+            self.config.stark_field.base, n, self.mesh, self.mesh_axis
+        )
 
     def _fri_sharded(self, n: int):
         """Sharded fold/deep/divide closures for coefficient length n, or

@@ -73,10 +73,10 @@ class FastStarkProof:
 
     def size_bytes(self) -> int:
         fp = self.fri_proof
-        paths = list(fp.batch_openings)
+        paths = [p for q in fp.batch_openings for p in q]
         paths += [p for q in fp.layer_openings for p in q]
         return (
-            32 * (1 + len(fp.layer_roots))
+            32 * (len(fp.group_roots) + len(fp.layer_roots))
             + sum(len(p.row) + sum(len(g) for g in p.groups) for p in paths)
             + 16 * len(fp.final_coeffs)
             + sum(16 * len(e) for e in self.point_evals)
@@ -119,14 +119,9 @@ class FastStark:
         else:
             x = jnp.asarray(self.kb.pack(trace.cols.reshape(-1)).reshape(
                 (trace.width, n) + self.kb.elem_axes))
-        ifft = get_ntt_fns(self.base, n)[1]
-        if self.mesh is not None:
-            from ..parallel.ntt_sharded import can_shard, get_sharded_ntt_fns
+        from ..parallel.ntt_sharded import select_ntt_fns
 
-            if can_shard(n, self.mesh.shape[self.mesh_axis]):
-                ifft = get_sharded_ntt_fns(
-                    self.base, n, self.mesh, self.mesh_axis
-                )[1]
+        ifft = select_ntt_fns(self.base, n, self.mesh, self.mesh_axis)[1]
         tp = ifft(x)
         trans = [f(tp) for f in trace.transitions]
         return jnp.concatenate([tp] + [t[None] for t in trans], axis=0)
@@ -139,11 +134,15 @@ class FastStark:
         w = trace.width
         tr = self._transcript(w, total - w, n)
 
-        r = tr.challenge_scalar(ext)
+        # 1. COMMIT the constraint polynomials, absorb, THEN draw challenges
+        #    (nothing may be squeezed before the witness commitment binds).
         ext_coeffs = lift_base_array(ke, all_coeffs)      # (w+t, n, *ext)
+        tree_w = self.fri.commit(ext_coeffs)
+        tr.absorb(tree_w.root())
+
+        r = tr.challenge_scalar(ext)
         weights = jnp.asarray(ke.pack([ext.pow(r, i) for i in range(total)]))
-        validity = mix_columns_jit(ke, ext_coeffs, weights)
-        batch = jnp.concatenate([ext_coeffs, validity[None]], axis=0)
+        validity = mix_columns_jit(ke, ext_coeffs, weights)[None]  # (1, n, *)
 
         point_evals = []
         for _ in range(self.config.point_queries):
@@ -153,7 +152,12 @@ class FastStark:
             tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
             point_evals.append(evals)
 
-        fri_proof = self.fri.prove(batch, transcript=tr)
+        # 2. commit validity (depends on r), absorb, then run the FRI
+        tree_v = self.fri.commit(validity)
+        tr.absorb(tree_v.root())
+        fri_proof = self.fri.prove(
+            groups=[ext_coeffs, validity], trees=[tree_w, tree_v], transcript=tr,
+        )
         return FastStarkProof(
             width=w, transitions=total - w,
             point_evals=point_evals, fri_proof=fri_proof,
@@ -162,18 +166,31 @@ class FastStark:
     # --------------------------------------------------------------- verify
     def verify(self, constrain_coeffs, proof: FastStarkProof) -> bool:
         """``constrain_coeffs``: (w+t, n, *base_elem) packed out-of-band
-        Constrains, exactly as DeviceEngine.verify consumes them."""
+        Constrains, exactly as DeviceEngine.verify consumes them.
+
+        Checks (in transcript order): witness commitment -> r -> point
+        evaluations against the out-of-band polynomials -> validity
+        commitment -> the batched FRI chain; then (a) every opened witness
+        row equals the verifier's OWN LDE of the constraint polynomials at
+        the queried coset points (binding the committed codewords to the
+        real polynomials), and (b) the opened validity values satisfy
+        validity == sum_i r^i f_i."""
         ext, ke = self.ext, self.ke
+        cfg = self.config
         total = proof.width + proof.transitions
         assert constrain_coeffs.shape[0] == total
         n = int(constrain_coeffs.shape[1])
+        fp = proof.fri_proof
+        assert fp.n == n, "FRI domain size mismatch"
+        assert fp.group_sizes == [total, 1], "unexpected commitment groups"
         tr = self._transcript(proof.width, proof.transitions, n)
 
+        tr.absorb(fp.group_roots[0])
         r = tr.challenge_scalar(ext)
         ext_coeffs = lift_base_array(ke, jnp.asarray(constrain_coeffs))
         r_pows = [ext.pow(r, i) for i in range(total)]
 
-        assert len(proof.point_evals) == self.config.point_queries
+        assert len(proof.point_evals) == cfg.point_queries
         for evals in proof.point_evals:
             z = tr.challenge_scalar(ext)
             ev = np.asarray(_eval_many_jit(ke, ext_coeffs, jnp.asarray(ke.pack_scalar(z))))
@@ -183,12 +200,26 @@ class FastStark:
                 assert a == b, "point evaluation mismatch"
             tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
 
-        res = self.fri.verify(proof.fri_proof, transcript=tr)
-        assert proof.fri_proof.b == total + 1
-        for _idx, fvals in res.rows:
-            for row in fvals:  # one row of (total+1) values per coset point
+        tr.absorb(fp.group_roots[1])
+        res = self.fri.verify(fp, transcript=tr)
+
+        # (a) bind committed rows to the real polynomials: recompute the LDE
+        # (one batched component NTT) and compare at every opened point
+        N = cfg.blowup * n
+        F = cfg.fold_factor
+        lde = self.fri._fft_batched(ext_coeffs, N)     # (w+t, N, *ext)
+        flat_idx = []
+        for idx, _ in res.rows:
+            flat_idx.extend(idx + t * (N // F) for t in range(F))
+        gathered = np.asarray(lde[:, np.asarray(flat_idx, dtype=np.int64)])
+        for qi, (_idx, fvals) in enumerate(res.rows):
+            for t in range(F):
+                mine_rows = ke.unpack(gathered[:, qi * F + t])
+                for i in range(total):
+                    assert mine_rows[i] == fvals[t][i], "committed row mismatch"
+                # (b) validity row relation
                 acc = ext.zero()
                 for i in range(total):
-                    acc = ext.add(acc, ext.mul(r_pows[i], row[i]))
-                assert acc == row[total], "validity row relation"
+                    acc = ext.add(acc, ext.mul(r_pows[i], fvals[t][i]))
+                assert acc == fvals[t][total], "validity row relation"
         return True

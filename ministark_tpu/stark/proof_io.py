@@ -76,7 +76,7 @@ def proof_to_json(stark_field, proof: StarkProof) -> str:
 # production format (parity proofs keep the readable JSON envelope above).
 # ---------------------------------------------------------------------------
 
-_FAST_MAGIC = b"MSF2"
+_FAST_MAGIC = b"MSF3"
 
 
 def _w_bytes(out: bytearray, b: bytes, width: int = 4):
@@ -116,9 +116,12 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
         for e in evals:
             _w_bytes(out, ext.serialize_compressed(e), 1)
 
-    out += fp.b.to_bytes(2, "little")
+    out += len(fp.group_sizes).to_bytes(1, "little")
+    for gs in fp.group_sizes:
+        out += gs.to_bytes(2, "little")
     out += fp.n.to_bytes(4, "little")
-    out += fp.batch_root
+    for root in fp.group_roots:
+        out += root
     out += len(fp.layer_roots).to_bytes(2, "little")
     for r in fp.layer_roots:
         out += r
@@ -134,7 +137,9 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
             for g in p.groups:
                 _w_bytes(out, g, 2)
 
-    w_openings(fp.batch_openings)
+    out += len(fp.batch_openings).to_bytes(2, "little")
+    for per_query in fp.batch_openings:
+        w_openings(per_query)
     out += len(fp.layer_openings).to_bytes(2, "little")
     for per_query in fp.layer_openings:
         w_openings(per_query)
@@ -159,9 +164,9 @@ def fast_proof_from_bytes(stark_field, data: bytes):
             [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(2))]
         )
 
-    b = r.u(2)
+    group_sizes = [r.u(2) for _ in range(r.u(1))]
     n = r.u(4)
-    batch_root = r.take(32)
+    group_roots = [r.take(32) for _ in range(len(group_sizes))]
     layer_roots = [r.take(32) for _ in range(r.u(2))]
     final_coeffs = [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(4))]
 
@@ -173,15 +178,15 @@ def fast_proof_from_bytes(stark_field, data: bytes):
             paths.append(IndexMerklePath(row=row, groups=groups))
         return paths
 
-    batch_openings = r_openings()
+    batch_openings = [r_openings() for _ in range(r.u(2))]
     layer_openings = [r_openings() for _ in range(r.u(2))]
     assert r.pos == len(data), "trailing bytes"
     return FastStarkProof(
         width=width, transitions=transitions, point_evals=point_evals,
         fri_proof=BatchedFriProof(
-            b=b, n=n, batch_root=batch_root, layer_roots=layer_roots,
-            final_coeffs=final_coeffs, batch_openings=batch_openings,
-            layer_openings=layer_openings,
+            group_sizes=group_sizes, n=n, group_roots=group_roots,
+            layer_roots=layer_roots, final_coeffs=final_coeffs,
+            batch_openings=batch_openings, layer_openings=layer_openings,
         ),
     )
 

@@ -49,17 +49,17 @@ def test_batched_fri_rejects_tampering():
 
     # flip a bit in an opened batch row -> leaf digest mismatch
     bad = copy.deepcopy(proof)
-    row = bytearray(bad.batch_openings[0].row)
+    row = bytearray(bad.batch_openings[0][0].row)
     row[0] ^= 1
-    bad.batch_openings[0].row = bytes(row)
+    bad.batch_openings[0][0].row = bytes(row)
     with pytest.raises(AssertionError):
         fri.verify(bad)
 
     # flip a sibling digest -> path mismatch
     bad = copy.deepcopy(proof)
-    g = bytearray(bad.batch_openings[1].groups[1])
+    g = bytearray(bad.batch_openings[1][0].groups[1])
     g[5] ^= 0xFF
-    bad.batch_openings[1].groups[1] = bytes(g)
+    bad.batch_openings[1][0].groups[1] = bytes(g)
     with pytest.raises(AssertionError):
         fri.verify(bad)
 

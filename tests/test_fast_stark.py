@@ -67,9 +67,9 @@ def test_fast_stark_rejects_tampered_evals_and_rows():
 
     # corrupt an opened batch row: Merkle path must fail
     bad = copy.deepcopy(proof)
-    row = bytearray(bad.fri_proof.batch_openings[0].row)
+    row = bytearray(bad.fri_proof.batch_openings[0][0].row)
     row[3] ^= 0x10
-    bad.fri_proof.batch_openings[0].row = bytes(row)
+    bad.fri_proof.batch_openings[0][0].row = bytes(row)
     with pytest.raises(AssertionError):
         stark.verify(cons, bad)
 
@@ -144,3 +144,55 @@ def test_fast_proof_random_tamper_sweep():
         except (AssertionError, ValueError, IndexError, OverflowError):
             pass  # decode rejected it — fine
         blob[pos] = old
+
+
+def test_fast_stark_rejects_unbound_commitment_forgery():
+    """The code-review forgery: ship honest point evaluations of the REAL
+    constraint polynomials but commit a DIFFERENT low-degree batch (with
+    validity := sum r^i f_i so the row relation holds by construction).
+    The verifier's own-LDE row binding must reject it."""
+    import jax.numpy as jnp
+
+    from ministark_tpu.fri.batched import _scalar_bytes
+    from ministark_tpu.ops.poly_device import mix_columns_jit
+    from ministark_tpu.ops.registry import lift_base_array
+    from ministark_tpu.stark.engine import _eval_many_jit
+
+    sf = Goldilocks
+    steps = 60
+    stark = FastStark(FastStarkConfig(sf, steps, queries=4, final_len=8))
+    ext, ke = stark.ext, stark.ke
+
+    real = stark._constraint_polys(fibonacci_device_trace(sf, steps))
+    fake = stark._constraint_polys(fibonacci_device_trace(sf, steps, secret_b=42))
+    total, n = int(real.shape[0]), int(real.shape[1])
+
+    # forger's prove: transcript fed with the FAKE commitment, point evals
+    # computed from the REAL polynomials (what the verifier will check)
+    tr = stark._transcript(3, total - 3, n)
+    real_ext = lift_base_array(ke, jnp.asarray(real))
+    fake_ext = lift_base_array(ke, jnp.asarray(fake))
+    tree_w = stark.fri.commit(fake_ext)
+    tr.absorb(tree_w.root())
+    r = tr.challenge_scalar(ext)
+    weights = jnp.asarray(ke.pack([ext.pow(r, i) for i in range(total)]))
+    validity = mix_columns_jit(ke, fake_ext, weights)[None]
+    point_evals = []
+    for _ in range(stark.config.point_queries):
+        z = tr.challenge_scalar(ext)
+        import numpy as _np
+        ev = _np.asarray(_eval_many_jit(ke, real_ext, jnp.asarray(ke.pack_scalar(z))))
+        evals = [ke.unpack(ev[i:i + 1])[0] for i in range(total)]
+        tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
+        point_evals.append(evals)
+    tree_v = stark.fri.commit(validity)
+    tr.absorb(tree_v.root())
+    fri_proof = stark.fri.prove(
+        groups=[fake_ext, validity], trees=[tree_w, tree_v], transcript=tr)
+
+    from ministark_tpu.stark.fast import FastStarkProof
+
+    forged = FastStarkProof(width=3, transitions=total - 3,
+                            point_evals=point_evals, fri_proof=fri_proof)
+    with pytest.raises(AssertionError, match="committed row mismatch"):
+        stark.verify(real, forged)

@@ -52,11 +52,14 @@ src/fri.rs:345-352.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import bb as bb_ops
 from . import gl as gl_ops
@@ -65,6 +68,7 @@ from .u32 import U32
 
 F_MAX = 512          # largest single-matmul DFT (log2 in [5, 9])
 F_PREF = 8           # preferred log2 factor (256): small host tables
+RT = 512             # fused-kernel rows (surviving positions) per block
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +282,166 @@ def _mul_planes(planes, w_planes):
 
 
 # ---------------------------------------------------------------------------
+# Fused Pallas level: digitize + int8 MXU dot + mod-p recombine (+ twiddle,
+# + trailing scalar) in ONE VMEM-resident kernel. The XLA lowering of
+# _ntt_axis1 streams the (NA, ...) digit stack and the (..., NB*F) s32
+# accumulator through HBM between the VPU and MXU stages (~9x the payload
+# each way); keeping them in VMEM leaves one read + one write of the field
+# planes per level. Gated by MINISTARK_MXU_FUSED (see make_mxu_ntt_fns).
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def fused_supports(n: int) -> bool:
+    return supports(n) and n >= (1 << 14)
+
+
+def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
+                       has_pre):
+    """Kernel over one (F, rt) tile of positions: x planes -> out planes.
+
+    ref order: nl x-planes, [nl coset-premultiply planes], Vd,
+    [nl twiddle planes], nl out-planes."""
+
+    def kernel(*refs):
+        i = 0
+        x_planes = tuple(refs[j][0] for j in range(nl))          # (F, rt)
+        i = nl
+        if has_pre:
+            pre = tuple(refs[i + j][...] for j in range(nl))     # (F, rt)
+            x_planes = _mul_planes(x_planes, pre)
+            i += nl
+        vd = refs[i][...]                                        # (NA*F, NB*F)
+        i += 1
+        tw_refs = None
+        if tw_rep:
+            tw_refs = refs[i:i + nl]
+            i += nl
+        o_refs = refs[i:]
+
+        d = _digitize(x_planes, NA).reshape(NA * F, rt)
+        d = jax.lax.optimization_barrier(d)
+        R = jax.lax.dot_general(
+            d, vd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                        # (rt, NB*F)
+        if nl == 2:
+            out = _recombine_gl(R, NB, F, kc_np)
+        else:
+            out = _recombine_bb(R, NB, F, kc_np)
+        if tw_rep:
+            tw = []
+            for r in tw_refs:
+                t = r[...]                                       # (rows, F)
+                rows = t.shape[0]
+                t = jnp.broadcast_to(t[:, None, :], (rows, tw_rep, F))
+                tw.append(t.reshape(rt, F))
+            out = _mul_planes(out, tuple(tw))
+        if scalar_np is not None:
+            out = _mul_planes(
+                out, tuple(jnp.full((1, 1), s, U32) for s in scalar_np)
+            )
+        for r, t in zip(o_refs, out):
+            r[0] = t
+
+    return kernel
+
+
+def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, K_prod, scalar_np,
+                 interpret, pre=None):
+    """One NTT level, fused: planes (B, F, rest...) -> (B, rest..., F).
+
+    tw_flat: tuple of (M, F) u32 twiddle planes (M = prod of the not-yet-
+    transformed factors) or None; output row r = f*K_prod + k_idx uses
+    twiddle row f, so a block of rt consecutive rows needs
+    rows_blk = max(1, rt // K_prod) twiddle rows, each repeated
+    min(rt, K_prod) times. pre: tuple of (n,) planes multiplied into the
+    input before digitizing (coset scaling fused into level 0)."""
+    nl = len(planes)
+    B, F = planes[0].shape[0], planes[0].shape[1]
+    R = planes[0].size // (B * F)
+    rest = planes[0].shape[2:]
+    rt = min(RT, R)
+    xs = tuple(t.reshape(B, F, R) for t in planes)
+    vd2 = Vd.reshape(-1, Vd.shape[-1])                           # (NA*F, NB*F)
+
+    in_specs = [
+        pl.BlockSpec((1, F, rt), lambda b, r: (b, 0, r),
+                     memory_space=pltpu.VMEM)
+        for _ in range(nl)
+    ]
+    args = list(xs)
+    if pre is not None:
+        for t in pre:
+            in_specs.append(pl.BlockSpec(
+                (F, rt), lambda b, r: (0, r), memory_space=pltpu.VMEM
+            ))
+            args.append(t.reshape(F, R))
+    in_specs.append(
+        pl.BlockSpec(vd2.shape, lambda b, r: (0, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(vd2)
+    tw_rep = 0
+    if tw_flat is not None:
+        rows_blk = max(1, rt // K_prod)
+        tw_rep = min(rt, K_prod)
+        for t in tw_flat:
+            in_specs.append(pl.BlockSpec(
+                (rows_blk, F),
+                lambda b, r, rb=rows_blk, kp=K_prod: (r * rt // (kp * rb), 0),
+                memory_space=pltpu.VMEM,
+            ))
+            args.append(t)
+
+    kern = _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
+                              pre is not None)
+    out = pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, R, F), jnp.uint32) for _ in range(nl)
+        ),
+        grid=(B, R // rt),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((1, rt, F), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(nl)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    return tuple(t.reshape((B,) + rest + (F,)) for t in out)
+
+
+def _mxu_core_fused(planes, factors, v_mats, tws_flat, NA, NB, kc_np,
+                    scalar_np, interpret, pre=None):
+    """Fused-kernel twin of _mxu_core: same factor walk, one pallas_call per
+    level (coset pre-scale, twiddle and any trailing scalar all ride the
+    level kernels)."""
+    B = planes[0].shape[0]
+    n = planes[0].shape[1]
+    Fs = [1 << lf for lf in factors]
+    k = len(Fs)
+    planes = tuple(t.reshape((B,) + tuple(Fs)) for t in planes)
+    K_prod = 1
+    for lvl in range(k):
+        last = lvl == k - 1
+        planes = _fused_level(
+            planes, v_mats[lvl], NA, NB, kc_np, tws_flat[lvl], K_prod,
+            scalar_np if last else None, interpret,
+            pre=pre if lvl == 0 else None,
+        )
+        K_prod *= Fs[lvl]
+    perm = (0,) + tuple(range(k, 0, -1))
+    return tuple(jnp.transpose(t, perm).reshape(B, n) for t in planes)
+
+
+# ---------------------------------------------------------------------------
 # Full transform: recursive four-step over the factor list
 # ---------------------------------------------------------------------------
 
@@ -309,18 +473,20 @@ def _mxu_core(planes, factors, v_mats, tws, NA, NB, kc):
 
 
 def _build_tables(field, n: int, root: int):
-    """Device tables for one direction: (factors, v_mats, twiddle planes).
+    """Device tables for one direction:
+    (factors, v_mats, twiddle planes, flat twiddle planes).
 
     v_mats[i]: (NA, F_i, NB*F_i) digit matrix. tws[i]: plane tuple shaped
     (F_{i+1}, ..., F_{k-1}) + (1,)*i + (F_i,) -- the level-i twiddle
     w^(i1*K) laid out over the axes that survive level i (the (1,)*i block
-    broadcasts over the already-produced K_0..K_{i-1} axes)."""
+    broadcasts over the already-produced K_0..K_{i-1} axes). tws_flat[i]:
+    the same table as raw (M, F_i) planes for the fused Pallas level."""
     ops = _field_ops(field)
     p = field.p
     limbs, NA, NB = _params(p)
     factors = factorize(n)
     Fs = [1 << lf for lf in factors]
-    v_mats, tws = [], []
+    v_mats, tws, tws_flat = [], [], []
     rem = n
     r = root
     for i, F in enumerate(Fs):
@@ -336,13 +502,16 @@ def _build_tables(field, n: int, root: int):
             ts = tuple(Fs[i + 1:]) + (1,) * i + (F,)
             if limbs == 2:
                 tws.append((W[..., 0].reshape(ts), W[..., 1].reshape(ts)))
+                tws_flat.append((W[..., 0], W[..., 1]))
             else:
                 tws.append((W.reshape(ts),))
+                tws_flat.append((W,))
             r = pow(r, F, p)                  # w1 = w^F, order M
         else:
             tws.append(None)
+            tws_flat.append(None)
         rem = M
-    return factors, v_mats, tws
+    return factors, v_mats, tws, tws_flat
 
 
 def make_mxu_ntt_fns(field, n: int):
@@ -356,16 +525,26 @@ def make_mxu_ntt_fns(field, n: int):
     root_inv = int(field.inv(root))
     n_inv = int(field.inv(field.from_int(n)))
 
-    factors, v_f, tw_f = _build_tables(field, n, root)
-    _, v_i, tw_i = _build_tables(field, n, root_inv)
+    factors, v_f, tw_f, twf_f = _build_tables(field, n, root)
+    _, v_i, tw_i, twf_i = _build_tables(field, n, root_inv)
     if limbs == 2:
         kp = gl_ops.pack([_recombine_const(p)])[0]
         kc = (jnp.asarray(kp[0]), jnp.asarray(kp[1]))
+        kc_np = (np.uint32(kp[0]), np.uint32(kp[1]))
         nip = gl_ops.pack([n_inv])[0]
         n_inv_planes = (jnp.asarray(nip[0]), jnp.asarray(nip[1]))
+        n_inv_np = (np.uint32(nip[0]), np.uint32(nip[1]))
     else:
         kc = int(_recombine_const(p))
+        kc_np = np.uint32(kc)
         n_inv_planes = (jnp.asarray(np.uint32(n_inv)),)
+        n_inv_np = (np.uint32(n_inv),)
+
+    env = os.environ.get("MINISTARK_MXU_FUSED", "0")
+    use_fused = fused_supports(n) and (
+        env == "1" or (env == "auto" and _on_tpu())
+    )
+    interpret = not _on_tpu()
 
     def to_planes(x):
         if limbs == 2:
@@ -377,28 +556,40 @@ def make_mxu_ntt_fns(field, n: int):
             return jnp.stack(planes, axis=-1)
         return planes[0]
 
-    def core(planes, v, tw):
-        return _mxu_core(planes, factors, v, tw, NA, NB, kc)
+    if use_fused:
+        def core_fwd(planes, pre=None):
+            return _mxu_core_fused(planes, factors, v_f, twf_f, NA, NB,
+                                   kc_np, None, interpret, pre=pre)
+
+        def core_inv(planes):   # n_inv rides the last level's kernel
+            return _mxu_core_fused(planes, factors, v_i, twf_i, NA, NB,
+                                   kc_np, n_inv_np, interpret)
+    else:
+        def core_fwd(planes, pre=None):
+            if pre is not None:
+                planes = _mul_planes(planes, tuple(t[None] for t in pre))
+            return _mxu_core(planes, factors, v_f, tw_f, NA, NB, kc)
+
+        def core_inv(planes):
+            y = _mxu_core(planes, factors, v_i, tw_i, NA, NB, kc)
+            return _mul_planes(y, n_inv_planes)
 
     @jax.jit
     def fft(x):
-        return from_planes(core(to_planes(x), v_f, tw_f))
+        return from_planes(core_fwd(to_planes(x)))
 
     @jax.jit
     def ifft(x):
-        y = core(to_planes(x), v_i, tw_i)
-        return from_planes(_mul_planes(y, n_inv_planes))
+        return from_planes(core_inv(to_planes(x)))
 
     @jax.jit
     def coset_fft(x, offset):
         pw = _powers(ops, offset, n)          # (n[, limbs]) interleaved
-        xs = _mul_planes(to_planes(x), to_planes(pw[None]))
-        return from_planes(core(xs, v_f, tw_f))
+        return from_planes(core_fwd(to_planes(x), pre=to_planes(pw)))
 
     @jax.jit
     def coset_ifft(x, offset_inv):
-        y = core(to_planes(x), v_i, tw_i)
-        y = _mul_planes(y, n_inv_planes)
+        y = core_inv(to_planes(x))
         pw = _powers(ops, offset_inv, n)
         return from_planes(_mul_planes(y, to_planes(pw[None])))
 

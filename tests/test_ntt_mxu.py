@@ -68,6 +68,21 @@ def test_extreme_values_gl():
     assert np.array_equal(np.asarray(mxu_fns[0](x)), np.asarray(ref_fns[0](x)))
 
 
+@pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
+                                        (BABYBEAR_FP, _rand_bb)])
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15])
+def test_fused_pallas_matches_device_ntt(field, rand, n, monkeypatch):
+    """MINISTARK_MXU_FUSED=1: the fused Pallas level kernels (digitize +
+    int8 dot + recombine + twiddle in one VMEM pass) run in interpret mode
+    on CPU — identical integer semantics to the XLA lowering."""
+    monkeypatch.setenv("MINISTARK_MXU_FUSED", "1")
+    x = rand(2, n, seed=11)
+    ref_fns = make_ntt_fns(field, n)
+    fus_fns = make_mxu_ntt_fns(field, n)
+    assert np.array_equal(np.asarray(fus_fns[0](x)), np.asarray(ref_fns[0](x)))
+    assert np.array_equal(np.asarray(fus_fns[1](x)), np.asarray(ref_fns[1](x)))
+
+
 @pytest.mark.parametrize("field,rand,ops", [
     (GOLDILOCKS_FP, _rand_gl, gl), (BABYBEAR_FP, _rand_bb, bb)])
 def test_coset_matches_device_ntt(field, rand, ops):

@@ -379,56 +379,86 @@ class DeviceEngine:
         betas = [int.from_bytes(raw[i * 8 : (i + 1) * 8], "little")
                  for i in range(cfg.queries)]
 
-        points, queries, quotients = [], [], []
+        # pass 1: issue every device round's codeword gather AND quotient
+        # computation without blocking — the interpolating lines a*x + b are
+        # derived on device from the gathered reads, so nothing here waits
+        # for a device->host pull; all the copies then stream concurrently
+        # (each blocking pull costs a full tunnel round trip).
+        metas = []
         for i in range(len(rounds) - 1):
             self._t(f"fri_query_round_{i}")
             prev, nxt = rounds[i], rounds[i + 1]
             assert prev.size // 2 == nxt.size
             prev_gen = ext.get_root_of_unity(prev.size)
             next_gen = ext.get_root_of_unity(nxt.size)
-
-            # one batched fetch of all codeword entries this round needs —
-            # a single device->host pull when both rounds live in HBM
-            # (each pull costs a full tunnel round trip)
             red_betas = [b % prev.size if b > prev.size else b for b in betas]
             idxs_prev = ([b % prev.size for b in red_betas]
                          + [(nxt.size + b) % prev.size for b in red_betas])
             idxs_next = [b % nxt.size for b in red_betas]
-            prev_reads, next_reads = _read_two_codewords(
-                self.ke, prev, nxt, idxs_prev, idxs_next
-            )
+            xs = []
+            for beta in red_betas:
+                xs.append((ext.pow(prev_gen, beta),
+                           ext.pow(prev_gen, nxt.size + beta),
+                           ext.pow(next_gen, beta)))
+
+            if (prev.device and nxt.device
+                    and isinstance(prev.codeword, jax.Array)
+                    and isinstance(nxt.codeword, jax.Array)):
+                i1 = jnp.asarray(np.asarray(idxs_prev, dtype=np.int64))
+                i2 = jnp.asarray(np.asarray(idxs_next, dtype=np.int64))
+                reads = _gather_two_jit(prev.codeword, nxt.codeword, i1, i2)
+                qs, effs = self._quotients_from_reads(prev, reads, xs)
+                for h in (reads, effs):
+                    try:
+                        h.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                metas.append((i, red_betas, xs, None, None, reads, qs, effs))
+            else:
+                metas.append((i, red_betas, xs, idxs_prev, idxs_next,
+                              None, None, None))
+
+        # pass 2: materialize the (already streaming) reads, build the
+        # points and Merkle proofs, trim + stream each round's quotients
+        points, queries, quotients = [], [], []
+        for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
+             effs) in metas:
+            prev, nxt = rounds[i], rounds[i + 1]
+            nq = len(red_betas)
+            if reads is not None:
+                vals = ke.unpack(np.asarray(reads))
+                prev_reads, next_reads = vals[: 2 * nq], vals[2 * nq:]
+            else:
+                prev_reads, next_reads = _read_two_codewords(
+                    self.ke, prev, nxt, idxs_prev, idxs_next
+                )
 
             round_points = []
             proof_values = []
-            lines = []
-            for qi, beta in enumerate(red_betas):
-                x1 = ext.pow(prev_gen, beta)
-                x2 = ext.pow(prev_gen, nxt.size + beta)
-                x3 = ext.pow(next_gen, beta)
+            for qi in range(nq):
+                x1, x2, x3 = xs[qi]
                 # codeword entries ARE the reference's direct evaluations
                 y1 = prev_reads[qi]
-                y2 = prev_reads[len(red_betas) + qi]
+                y2 = prev_reads[nq + qi]
                 y3 = next_reads[qi]
                 round_points.append([(x1, y1), (x2, y2), (x3, y3)])
                 proof_values.extend([y1, y2])
 
-                a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
-                b = ext.sub(y1, ext.mul(a, x1))
-                lines.append((a, b, x1, x2))
-
-            if prev.device:
-                # deferred: transfer streams while later rounds proceed
-                round_quotients = self._query_quotients_batch(prev, lines)
+            if qs is not None:
+                round_quotients = self._trim_quotients(qs, effs, nq)
             else:
-                round_quotients = [
-                    self._query_quotient(prev, a, b, x1, x2)
-                    for (a, b, x1, x2) in lines
-                ]
+                round_quotients = []
+                for qi in range(nq):
+                    x1, x2, _ = xs[qi]
+                    y1, y2 = prev_reads[qi], prev_reads[nq + qi]
+                    a = ext.mul(ext.sub(y2, y1), ext.inv(ext.sub(x2, x1)))
+                    b = ext.sub(y1, ext.mul(a, x1))
+                    round_quotients.append(self._query_quotient(prev, a, b, x1, x2))
 
             # one batched search + node/neighbour fetch for the whole round
             proofs = prev.tree.generate_proofs(proof_values)
             round_queries = [
-                [proofs[2 * qi], proofs[2 * qi + 1]] for qi in range(len(red_betas))
+                [proofs[2 * qi], proofs[2 * qi + 1]] for qi in range(nq)
             ]
 
             points.append(round_points)
@@ -436,7 +466,7 @@ class DeviceEngine:
             quotients.append(round_quotients)
 
         # materialize the deferred quotient pulls (their copies were started
-        # asynchronously per round and have been streaming during the loop)
+        # asynchronously and have been streaming during the loop)
         quotients = [q() if callable(q) else q for q in quotients]
 
         return DeviceFriProof(
@@ -483,9 +513,10 @@ class DeviceEngine:
                     fe, fo = fns["deep"](rnd.coeffs, zp)
             else:
                 fe, fo = _deep_evals_jit(ke, rnd.coeffs, zp)
-            fe_z = ke.unpack(np.asarray(fe)[None])[0]
-            fo_z = ke.unpack(np.asarray(fo)[None])[0] if fo is not None else ext.zero()
-            return fe_z, fo_z
+            if fo is None:
+                return ke.unpack(np.asarray(fe)[None])[0], ext.zero()
+            both = ke.unpack(np.asarray(_stack2_jit(fe, fo)))  # ONE pull
+            return both[0], both[1]
         poly = DensePolynomial(ext, rnd.coeffs)
         parts = HostFriRound.split_poly(ext, poly, 2)
         return parts[0].evaluate(z), parts[1].evaluate(z)
@@ -533,15 +564,10 @@ class DeviceEngine:
         denominator = DensePolynomial(ext, [ext.neg(z), ext.one()])
         return ((folded - dv_poly) / denominator).to_vec()
 
-    def _query_quotients_batch(self, prev: "_FriRoundRepr", lines):
-        """All queries' quotients for one round in ONE executable + ONE
-        length scan + ONE bounded pull (round-trips dominate on the tunnel).
-
-        Returns a DEFERRED (zero-arg callable): the trimmed device->host copy
-        is started asynchronously here (copy_to_host_async) so the multi-MB
-        quotient transfer of round i rides the tunnel while round i+1's
-        compute and Merkle-proof searches proceed — call the deferred to
-        materialize the per-query coefficient arrays (VERDICT r1 item 7)."""
+    def _quotients_from_reads(self, prev: "_FriRoundRepr", reads, xs):
+        """Dispatch all of one round's query quotients in ONE executable,
+        with the interpolating lines derived on device from ``reads`` (the
+        batched codeword gather) — no host round trip anywhere."""
         ext = self.config.stark_field.extension
         ke = self.ke
         pc = prev.coeffs
@@ -554,15 +580,21 @@ class DeviceEngine:
         def stack(vals):
             return jnp.asarray(np.stack([np.asarray(ke.pack_scalar(v)) for v in vals]))
 
-        a_s = stack([l[0] for l in lines])
-        b_s = stack([l[1] for l in lines])
-        x1_s = stack([l[2] for l in lines])
-        x2_s = stack([l[3] for l in lines])
-        s1_s = stack([ext.pow(ext.inv(l[2]), n0 - 1) for l in lines])
-        s2_s = stack([ext.pow(ext.inv(l[3]), n0 - 1) for l in lines])
+        x1_s = stack([x1 for (x1, _, _) in xs])
+        x2_s = stack([x2 for (_, x2, _) in xs])
+        dxinv_s = stack([ext.inv(ext.sub(x2, x1)) for (x1, x2, _) in xs])
+        s1_s = stack([ext.pow(ext.inv(x1), n0 - 1) for (x1, _, _) in xs])
+        s2_s = stack([ext.pow(ext.inv(x2), n0 - 1) for (_, x2, _) in xs])
+        return _query_quotients_from_reads_jit(
+            ke, pc, reads, dxinv_s, x1_s, x2_s, s1_s, s2_s
+        )
 
-        qs, effs = _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s)
-        effs = [int(e) for e in np.asarray(effs)]   # tiny pull; blocks on compute only
+    def _trim_quotients(self, qs, effs, nq: int):
+        """Trim the padded quotient batch to its longest effective length
+        and start the device->host copy; returns a DEFERRED (zero-arg
+        callable) so the multi-MB transfer streams while the remaining
+        rounds' Merkle-proof searches proceed (VERDICT r1 item 7)."""
+        effs = [int(e) for e in np.asarray(effs)]   # already streamed async
         m = max(effs + [0])
         trimmed = qs[:, :m]
         try:
@@ -572,7 +604,7 @@ class DeviceEngine:
 
         def materialize():
             arr = np.asarray(trimmed)
-            return [arr[qi, : effs[qi]] for qi in range(len(lines))]
+            return [arr[qi, : effs[qi]] for qi in range(nq)]
 
         return materialize
 
@@ -763,6 +795,9 @@ def _deep_evals_jit(ke, coeffs, zp):
     return fe, fo
 
 
+_stack2_jit = jax.jit(lambda a, b: jnp.stack([a, b]))
+
+
 @partial(jax.jit, static_argnums=0)
 def _sub_head1_jit(ke, arr, v0):
     """arr - v0 on the constant coefficient only."""
@@ -844,6 +879,24 @@ def _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s):
         return q2, jnp.max(jnp.where(nz, idx + 1, 0))
 
     return jax.vmap(one)(a_s, b_s, x1_s, x2_s, s1_s, s2_s)
+
+
+@partial(jax.jit, static_argnums=0)
+def _query_quotients_from_reads_jit(ke, pc, reads, dxinv_s,
+                                    x1_s, x2_s, s1_s, s2_s):
+    """Same as _query_quotients_batch_jit, but derives the interpolating
+    line a*x + b from the codeword reads ON DEVICE (a = (y2-y1)/(x2-x1),
+    b = y1 - a*x1), so the quotient dispatch never waits for the reads to
+    cross to the host — every query round can be issued back-to-back and
+    the device->host copies all stream concurrently.
+
+    reads: the (3Q, *elem) _gather_two_jit output — y1 = reads[:Q],
+    y2 = reads[Q:2Q] (the trailing Q rows are the next round's reads)."""
+    Q = x1_s.shape[0]
+    y1_s, y2_s = reads[:Q], reads[Q:2 * Q]
+    a_s = ke.mul(ke.sub(y2_s, y1_s), dxinv_s)
+    b_s = ke.sub(y1_s, ke.mul(a_s, x1_s))
+    return _query_quotients_batch_jit(ke, pc, a_s, b_s, x1_s, x2_s, s1_s, s2_s)
 
 
 _powers_jit = jax.jit(powers, static_argnums=(0, 2))

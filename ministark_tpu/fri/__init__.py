@@ -1,5 +1,7 @@
 from .fri import Fri, FriConfig, FriProof, FriRound
 from .batched import BatchedFri, BatchedFriConfig, BatchedFriProof
+from .stir import Stir, StirConfig, StirProof
 
 __all__ = ["Fri", "FriConfig", "FriProof", "FriRound",
-           "BatchedFri", "BatchedFriConfig", "BatchedFriProof"]
+           "BatchedFri", "BatchedFriConfig", "BatchedFriProof",
+           "Stir", "StirConfig", "StirProof"]

@@ -295,6 +295,14 @@ class BatchedFri:
         evals0 = self._fft_batched(polys, N)        # (B, N, *elem)
         return self._tree(self._coset_rows(evals0, self.cfg.fold_factor))
 
+    def binding_lde(self, ext_coeffs):
+        """(N, row_group, evals over this backend's layer-0 domain) — what
+        an outer protocol needs to recompute committed rows itself
+        (stark/fast.py row binding); opened row idx's coset point t sits at
+        domain index idx + t*(N // row_group)."""
+        N = self.cfg.blowup * int(ext_coeffs.shape[1])
+        return N, self.cfg.fold_factor, self._fft_batched(ext_coeffs, N)
+
     def prove(self, polys=None, transcript: FastTranscript = None,
               groups=None, trees=None) -> BatchedFriProof:
         """Standalone: ``prove(polys)`` — one group, committed and absorbed

@@ -89,19 +89,39 @@ class StirConfig:
 
 
 @dataclass
+class StirResult:
+    """Truthy verification result carrying the authenticated C_0 query rows
+    for outer protocols (stark/fast.py) to impose their own row relations:
+    per query, (index, vals) where vals[t][b] is polynomial b's value at
+    coset point t of the queried row (same shape as BatchedFriResult)."""
+
+    rows: List
+
+    def __bool__(self) -> bool:
+        return True
+
+
+@dataclass
 class StirProof:
-    b: int                     # batched polynomial count
+    group_sizes: List[int]     # polynomials per C_0 commitment group
     n: int                     # per-polynomial coefficient length (d_0)
-    roots: List[bytes]         # C_0 .. C_R
+    group_roots: List[bytes]   # C_0: one coset-row tree per group
+    round_roots: List[bytes]   # C_1 .. C_R
     betas: List                # R out-of-domain answers
     final_coeffs: List         # p = Fold_k(f_R, r_R), in the clear
-    openings: List[List[IndexMerklePath]]   # [round i][query] rows of C_i
+    batch_openings: List[List[IndexMerklePath]]   # [query][group], idxs_0
+    round_openings: List[List[IndexMerklePath]]   # [i-1][query]: C_i rows
+
+    @property
+    def b(self) -> int:
+        return sum(self.group_sizes)
 
     def size_bytes(self, field) -> int:
         sc = 8 * field.extension_degree
-        paths = [p for per_round in self.openings for p in per_round]
+        paths = [p for q in self.batch_openings for p in q]
+        paths += [p for per_round in self.round_openings for p in per_round]
         return (
-            32 * len(self.roots)
+            32 * (len(self.group_roots) + len(self.round_roots))
             + sum(len(p.row) + sum(len(g) for g in p.groups) for p in paths)
             + sc * (len(self.betas) + len(self.final_coeffs))
         )
@@ -296,30 +316,65 @@ class Stir:
         return sorted(set(idxs))
 
     # ----------------------------------------------------------- prove
-    def prove(self, polys) -> StirProof:
-        """polys: packed (B, n, *ke.elem) ext coefficient array (device)."""
+    def commit(self, polys) -> IndexMerkleTree:
+        """Commitment of one polynomial group over L_0 (coset-row tree).
+        The CALLER absorbs the root into its transcript at the protocol
+        point where the group is bound (stark/fast.py)."""
+        n = int(polys.shape[1])
+        d, N, off, t, R = self._schedule(n)
+        return self._commit(polys, N[0], off[0])
+
+    def binding_lde(self, ext_coeffs):
+        """(N_0, k, evals over L_0) for outer-protocol row binding — same
+        contract as BatchedFri.binding_lde, over THIS backend's coset."""
+        n = int(ext_coeffs.shape[1])
+        d, N, off, t, R = self._schedule(n)
+        offp = jnp.asarray(self.kb.pack([off[0]])[0])
+        return N[0], self.cfg.k, self._coset_fft_batched(ext_coeffs, N[0], offp)
+
+    def prove(self, polys=None, transcript: FastTranscript = None,
+              groups=None, trees=None) -> StirProof:
+        """Standalone: ``prove(polys)`` — one group, committed and absorbed
+        internally on a fresh transcript.
+
+        Multi-group (outer protocols): ``prove(groups=[...], trees=[...],
+        transcript=tr)`` — the caller committed each group via ``commit``
+        and absorbed every root BEFORE any challenge; STIR continues from
+        rho (same contract as BatchedFri.prove)."""
         cfg = self.cfg
         ext, ke = self.ext, self.ke
         k = cfg.k
-        b, n = int(polys.shape[0]), int(polys.shape[1])
+        if groups is None:
+            assert polys is not None
+            groups = [polys]
+        n = int(groups[0].shape[1])
+        group_sizes = [int(g.shape[0]) for g in groups]
+        b = sum(group_sizes)
         assert n & (n - 1) == 0
+        assert all(int(g.shape[1]) == n for g in groups)
         d, N, off, t, R = self._schedule(n)
-
-        tr = self._transcript(b, n)
-        trees = [self._commit(polys, N[0], off[0])]
-        tr.absorb(trees[0].root())
+        if trees is None:
+            assert transcript is None and len(groups) == 1
+            tr = self._transcript(b, n)
+            trees = [self.commit(groups[0])]
+            tr.absorb(trees[0].root())
+        else:
+            assert transcript is not None and len(trees) == len(groups)
+            tr = transcript
 
         rho = tr.challenge_scalar(ext)
         weights = jnp.asarray(ke.pack([ext.pow(rho, j) for j in range(b)]))
-        cur = _mix_jit(ke, polys, weights)          # f_0 coeffs (n, *elem)
+        allp = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+        cur = _mix_jit(ke, allp, weights)           # f_0 coeffs (n, *elem)
 
+        round_trees: List[IndexMerkleTree] = []
         betas: List = []
         all_idxs: List[List[int]] = []
         for i in range(1, R + 1):
             r = tr.challenge_scalar(ext)
             cur = _fold_factor_jit(ke, cur, jnp.asarray(ke.pack_scalar(r)), k)
             tree = self._commit(cur[None], N[i], off[i])
-            trees.append(tree)
+            round_trees.append(tree)
             tr.absorb(tree.root())
 
             z = tr.challenge_scalar(ext)
@@ -361,10 +416,20 @@ class Stir:
         idxs_fin = self._dedupe(tr.challenge_indices(t[R], N[R] // k))
         all_idxs.append(idxs_fin)
 
-        openings = [trees[i].open_many(all_idxs[i]) for i in range(R + 1)]
+        per_group = [tree.open_many(all_idxs[0]) for tree in trees]
+        batch_openings = [
+            [per_group[g][qi] for g in range(len(trees))]
+            for qi in range(len(all_idxs[0]))
+        ]
+        round_openings = [
+            round_trees[i - 1].open_many(all_idxs[i]) for i in range(1, R + 1)
+        ]
         return StirProof(
-            b=b, n=n, roots=[tree.root() for tree in trees], betas=betas,
-            final_coeffs=final_coeffs, openings=openings,
+            group_sizes=group_sizes, n=n,
+            group_roots=[tree.root() for tree in trees],
+            round_roots=[tree.root() for tree in round_trees],
+            betas=betas, final_coeffs=final_coeffs,
+            batch_openings=batch_openings, round_openings=round_openings,
         )
 
     def _apply_quot_degcor(self, cur, G, r_cor, d_i: int):
@@ -385,19 +450,25 @@ class Stir:
         return _quot_degcor_jit(ke, cur, ans_p, roots_p, scales_p, rpows_p)
 
     # ----------------------------------------------------------- verify
-    def verify(self, proof: StirProof) -> bool:
+    def verify(self, proof: StirProof,
+               transcript: FastTranscript = None) -> "StirResult":
         cfg = self.cfg
         ext = self.ext
         k = cfg.k
         b, n = proof.b, proof.n
         d, N, off, t, R = self._schedule(n)
-        assert len(proof.roots) == R + 1
+        assert len(proof.round_roots) == R
         assert len(proof.betas) == R
-        assert len(proof.openings) == R + 1
+        assert len(proof.round_openings) == R
         assert len(proof.final_coeffs) <= d[R] // k
 
-        tr = self._transcript(b, n)
-        tr.absorb(proof.roots[0])
+        if transcript is None:
+            assert len(proof.group_sizes) == 1
+            tr = self._transcript(b, n)
+            tr.absorb(proof.group_roots[0])
+        else:
+            # outer protocols absorb every group root themselves BEFORE rho
+            tr = transcript
         rho = tr.challenge_scalar(ext)
         rho_pows = [ext.pow(rho, j) for j in range(b)]
 
@@ -455,35 +526,50 @@ class Stir:
                         ext.inv(v))
             return ext.mul(q, _geom_eval(ext, r_cor, x, e))
 
+        result_rows: List = []      # authenticated C_0 rows for outer checks
+
         def open_rows(i: int, idxs):
-            """Verify paths of C_i's openings at ``idxs``; decode values."""
+            """Verify paths of C_i's openings at ``idxs``; decode values.
+            rows[qi][t] is a list of b values for i == 0, [value] else."""
             rows = []
-            per_val = b if i == 0 else 1
+            if i == 0:
+                for qi, idx in enumerate(idxs):
+                    per_t = [[] for _ in range(k)]
+                    for gi, gsize in enumerate(proof.group_sizes):
+                        path = proof.batch_openings[qi][gi]
+                        assert IndexMerkleTree.verify_path(
+                            proof.group_roots[gi], N[0] // k, cfg.arity,
+                            idx, path,
+                        ), f"batch path group {gi}"
+                        flat = _row_values(ext, path.row, gsize * k)
+                        for tt in range(k):
+                            per_t[tt].extend(
+                                flat[bj * k + tt] for bj in range(gsize)
+                            )
+                    rows.append(per_t)
+                    result_rows.append((idx, per_t))
+                return rows
             for qi, idx in enumerate(idxs):
-                path = proof.openings[i][qi]
+                path = proof.round_openings[i - 1][qi]
                 assert IndexMerkleTree.verify_path(
-                    proof.roots[i], N[i] // k, cfg.arity, idx, path
+                    proof.round_roots[i - 1], N[i] // k, cfg.arity, idx, path
                 ), f"round {i} path"
-                flat = _row_values(ext, path.row, per_val * k)
-                if i == 0:
-                    vals = [
-                        [flat[bj * k + tt] for bj in range(b)]
-                        for tt in range(k)
-                    ]
-                else:
-                    vals = [[flat[tt]] for tt in range(k)]
-                rows.append(vals)
+                flat = _row_values(ext, path.row, k)
+                rows.append([[v] for v in flat])
             return rows
 
         for i in range(1, R + 1):
             r = tr.challenge_scalar(ext)
-            tr.absorb(proof.roots[i])
+            tr.absorb(proof.round_roots[i - 1])
             z = tr.challenge_scalar(ext)
             assert self._ood_ok(z), "out-of-domain sample hit the prime field"
             beta = proof.betas[i - 1]
             tr.absorb(_scalar_bytes(ext, beta))
             idxs = self._dedupe(tr.challenge_indices(t[i - 1], N[i - 1] // k))
-            assert len(proof.openings[i - 1]) == len(idxs)
+            if i - 1 == 0:
+                assert len(proof.batch_openings) == len(idxs)
+            else:
+                assert len(proof.round_openings[i - 2]) == len(idxs)
             r_cor = tr.challenge_scalar(ext)
 
             rows = open_rows(i - 1, idxs)
@@ -507,7 +593,10 @@ class Stir:
         r_fin = tr.challenge_scalar(ext)
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in proof.final_coeffs))
         idxs_fin = self._dedupe(tr.challenge_indices(t[R], N[R] // k))
-        assert len(proof.openings[R]) == len(idxs_fin)
+        if R == 0:
+            assert len(proof.batch_openings) == len(idxs_fin)
+        else:
+            assert len(proof.round_openings[R - 1]) == len(idxs_fin)
 
         rows = open_rows(R, idxs_fin)
         for qi, idx in enumerate(idxs_fin):
@@ -521,4 +610,4 @@ class Stir:
             assert _eval_poly(ext, proof.final_coeffs, y) == expected, (
                 "final polynomial mismatch"
             )
-        return True
+        return StirResult(rows=result_rows)

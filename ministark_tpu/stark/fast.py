@@ -56,12 +56,13 @@ from .engine import DeviceTrace, _eval_many_jit
 class FastStarkConfig:
     stark_field: object
     steps: int
-    queries: int = 32          # FRI query indices
+    queries: int = 32          # FRI query indices / STIR security bits
     point_queries: int = 2     # random-point DEEP checks (each ~|ext|^-1)
     blowup: int = 2
     arity: int = 4             # Merkle fan-in
-    fold_factor: int = 4       # FRI F-to-1 folds per layer
+    fold_factor: int = 4       # FRI F-to-1 folds per layer / STIR k
     final_len: int = 32
+    lde_backend: str = "fri"   # "fri" (fri/batched.py) | "stir" (fri/stir.py)
 
 
 @dataclass
@@ -69,16 +70,23 @@ class FastStarkProof:
     width: int
     transitions: int
     point_evals: List[List]            # [z_j][poly i] extension evaluations
-    fri_proof: BatchedFriProof
+    fri_proof: object                  # BatchedFriProof | StirProof
 
     def size_bytes(self) -> int:
         fp = self.fri_proof
         paths = [p for q in fp.batch_openings for p in q]
-        paths += [p for q in fp.layer_openings for p in q]
+        if hasattr(fp, "round_openings"):      # STIR backend
+            paths += [p for rnd in fp.round_openings for p in rnd]
+            roots = len(fp.group_roots) + len(fp.round_roots)
+            scalars = len(fp.final_coeffs) + len(fp.betas)
+        else:
+            paths += [p for q in fp.layer_openings for p in q]
+            roots = len(fp.group_roots) + len(fp.layer_roots)
+            scalars = len(fp.final_coeffs)
         return (
-            32 * (len(fp.group_roots) + len(fp.layer_roots))
+            32 * roots
             + sum(len(p.row) + sum(len(g) for g in p.groups) for p in paths)
-            + 16 * len(fp.final_coeffs)
+            + 16 * scalars
             + sum(16 * len(e) for e in self.point_evals)
         )
 
@@ -96,15 +104,27 @@ class FastStark:
         self.ke = get_kernels(self.ext)
         self.mesh = mesh
         self.mesh_axis = mesh_axis
-        self.fri = BatchedFri(BatchedFriConfig(
-            self.ext, blowup=config.blowup, queries=config.queries,
-            arity=config.arity, fold_factor=config.fold_factor,
-            final_len=config.final_len,
-        ), mesh=mesh, mesh_axis=mesh_axis)
+        if config.lde_backend == "stir":
+            from ..fri.stir import Stir, StirConfig
+
+            self.fri = Stir(StirConfig(
+                self.ext, k=config.fold_factor, blowup=config.blowup,
+                security_bits=config.queries, final_len=config.final_len,
+                arity=config.arity,
+            ), mesh=mesh, mesh_axis=mesh_axis)
+        else:
+            assert config.lde_backend == "fri", config.lde_backend
+            self.fri = BatchedFri(BatchedFriConfig(
+                self.ext, blowup=config.blowup, queries=config.queries,
+                arity=config.arity, fold_factor=config.fold_factor,
+                final_len=config.final_len,
+            ), mesh=mesh, mesh_axis=mesh_axis)
 
     def _transcript(self, width: int, n_transitions: int, n: int) -> FastTranscript:
         c = self.config
-        tr = FastTranscript(b"fast-stark")
+        label = (b"fast-stark" if c.lde_backend == "fri"
+                 else b"fast-stark/" + c.lde_backend.encode())
+        tr = FastTranscript(label)
         tr.absorb(b"%d/%d/%d/%d/%d/%d/%d/%d/%d" % (
             width, n_transitions, c.steps, n, c.queries, c.point_queries,
             c.blowup, c.arity, c.final_len,
@@ -204,10 +224,9 @@ class FastStark:
         res = self.fri.verify(fp, transcript=tr)
 
         # (a) bind committed rows to the real polynomials: recompute the LDE
-        # (one batched component NTT) and compare at every opened point
-        N = cfg.blowup * n
-        F = cfg.fold_factor
-        lde = self.fri._fft_batched(ext_coeffs, N)     # (w+t, N, *ext)
+        # over the backend's layer-0 domain (one batched component NTT) and
+        # compare at every opened point
+        N, F, lde = self.fri.binding_lde(ext_coeffs)   # (w+t, N, *ext)
         flat_idx = []
         for idx, _ in res.rows:
             flat_idx.extend(idx + t * (N // F) for t in range(F))

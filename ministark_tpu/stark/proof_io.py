@@ -76,7 +76,7 @@ def proof_to_json(stark_field, proof: StarkProof) -> str:
 # production format (parity proofs keep the readable JSON envelope above).
 # ---------------------------------------------------------------------------
 
-_FAST_MAGIC = b"MSF3"
+_FAST_MAGIC = b"MSF4"
 
 
 def _w_bytes(out: bytearray, b: bytes, width: int = 4):
@@ -105,8 +105,10 @@ class _Reader:
 def fast_proof_to_bytes(stark_field, proof) -> bytes:
     ext = stark_field.extension
     fp = proof.fri_proof
+    stir = hasattr(fp, "round_openings")
     out = bytearray(_FAST_MAGIC)
     _w_bytes(out, stark_field.name.encode(), 1)
+    out += (1 if stir else 0).to_bytes(1, "little")   # LDE backend tag
     out += proof.width.to_bytes(2, "little")
     out += proof.transitions.to_bytes(2, "little")
 
@@ -122,9 +124,14 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
     out += fp.n.to_bytes(4, "little")
     for root in fp.group_roots:
         out += root
-    out += len(fp.layer_roots).to_bytes(2, "little")
-    for r in fp.layer_roots:
+    inner_roots = fp.round_roots if stir else fp.layer_roots
+    out += len(inner_roots).to_bytes(2, "little")
+    for r in inner_roots:
         out += r
+    if stir:
+        out += len(fp.betas).to_bytes(2, "little")
+        for bta in fp.betas:
+            _w_bytes(out, ext.serialize_compressed(bta), 1)
     out += len(fp.final_coeffs).to_bytes(4, "little")
     for c in fp.final_coeffs:
         _w_bytes(out, ext.serialize_compressed(c), 1)
@@ -140,14 +147,16 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
     out += len(fp.batch_openings).to_bytes(2, "little")
     for per_query in fp.batch_openings:
         w_openings(per_query)
-    out += len(fp.layer_openings).to_bytes(2, "little")
-    for per_query in fp.layer_openings:
-        w_openings(per_query)
+    inner_openings = fp.round_openings if stir else fp.layer_openings
+    out += len(inner_openings).to_bytes(2, "little")
+    for group in inner_openings:
+        w_openings(group)
     return bytes(out)
 
 
 def fast_proof_from_bytes(stark_field, data: bytes):
     from ..fri.batched import BatchedFriProof
+    from ..fri.stir import StirProof
     from ..commit.index_tree import IndexMerklePath
     from .fast import FastStarkProof
 
@@ -155,6 +164,7 @@ def fast_proof_from_bytes(stark_field, data: bytes):
     r = _Reader(data)
     assert r.take(4) == _FAST_MAGIC, "bad magic"
     assert r.blob(1).decode() == stark_field.name, "field mismatch"
+    stir = r.u(1) == 1
     width = r.u(2)
     transitions = r.u(2)
 
@@ -167,7 +177,11 @@ def fast_proof_from_bytes(stark_field, data: bytes):
     group_sizes = [r.u(2) for _ in range(r.u(1))]
     n = r.u(4)
     group_roots = [r.take(32) for _ in range(len(group_sizes))]
-    layer_roots = [r.take(32) for _ in range(r.u(2))]
+    inner_roots = [r.take(32) for _ in range(r.u(2))]
+    betas = (
+        [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(2))]
+        if stir else []
+    )
     final_coeffs = [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(4))]
 
     def r_openings():
@@ -179,15 +193,23 @@ def fast_proof_from_bytes(stark_field, data: bytes):
         return paths
 
     batch_openings = [r_openings() for _ in range(r.u(2))]
-    layer_openings = [r_openings() for _ in range(r.u(2))]
+    inner_openings = [r_openings() for _ in range(r.u(2))]
     assert r.pos == len(data), "trailing bytes"
+    if stir:
+        fri_proof = StirProof(
+            group_sizes=group_sizes, n=n, group_roots=group_roots,
+            round_roots=inner_roots, betas=betas, final_coeffs=final_coeffs,
+            batch_openings=batch_openings, round_openings=inner_openings,
+        )
+    else:
+        fri_proof = BatchedFriProof(
+            group_sizes=group_sizes, n=n, group_roots=group_roots,
+            layer_roots=inner_roots, final_coeffs=final_coeffs,
+            batch_openings=batch_openings, layer_openings=inner_openings,
+        )
     return FastStarkProof(
         width=width, transitions=transitions, point_evals=point_evals,
-        fri_proof=BatchedFriProof(
-            group_sizes=group_sizes, n=n, group_roots=group_roots,
-            layer_roots=layer_roots, final_coeffs=final_coeffs,
-            batch_openings=batch_openings, layer_openings=layer_openings,
-        ),
+        fri_proof=fri_proof,
     )
 
 

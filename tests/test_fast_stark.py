@@ -31,6 +31,33 @@ def test_fast_stark_roundtrip(sf, steps, arity):
     assert proof.size_bytes() < 200_000
 
 
+@pytest.mark.parametrize("sf,steps", [(Goldilocks, 100), (BabyBear, 77)])
+def test_fast_stark_stir_backend(sf, steps):
+    """The same STARK over the STIR LDT (fri/stir.py): completeness, row
+    tampering, wrong witness."""
+    trace = fibonacci_device_trace(sf, steps)
+    stark = FastStark(FastStarkConfig(
+        sf, steps, queries=8, point_queries=2, final_len=8,
+        lde_backend="stir",
+    ))
+    proof = stark.prove(trace)
+    cons = _constrains(stark, trace)
+    assert stark.verify(cons, proof)
+    assert proof.size_bytes() < 200_000
+
+    bad = copy.deepcopy(proof)
+    row = bytearray(bad.fri_proof.batch_openings[0][0].row)
+    row[3] ^= 0x10
+    bad.fri_proof.batch_openings[0][0].row = bytes(row)
+    with pytest.raises(AssertionError):
+        stark.verify(cons, bad)
+
+    if sf is Goldilocks:
+        other = fibonacci_device_trace(sf, steps, secret_b=99)
+        with pytest.raises(AssertionError):
+            stark.verify(_constrains(stark, other), proof)
+
+
 def test_fast_stark_counter_model():
     sf = Goldilocks
     steps = 200
@@ -81,15 +108,18 @@ def test_fast_proof_serialization_roundtrip():
     )
 
     for sf in (Goldilocks, BabyBear):
-        steps = 50
-        trace = fibonacci_device_trace(sf, steps)
-        stark = FastStark(FastStarkConfig(sf, steps, queries=4, final_len=8))
-        proof = stark.prove(trace)
-        blob = fast_proof_to_bytes(sf, proof)
-        back = fast_proof_from_bytes(sf, blob)
-        assert stark.verify(_constrains(stark, trace), back)
-        assert fast_proof_to_bytes(sf, back) == blob
-        assert len(blob) <= proof.size_bytes() * 1.2  # framing overhead bound
+        for backend in ("fri", "stir"):
+            steps = 50
+            trace = fibonacci_device_trace(sf, steps)
+            stark = FastStark(FastStarkConfig(
+                sf, steps, queries=4, final_len=8, lde_backend=backend,
+            ))
+            proof = stark.prove(trace)
+            blob = fast_proof_to_bytes(sf, proof)
+            back = fast_proof_from_bytes(sf, blob)
+            assert stark.verify(_constrains(stark, trace), back)
+            assert fast_proof_to_bytes(sf, back) == blob
+            assert len(blob) <= proof.size_bytes() * 1.2 + 64  # framing bound
 
 
 def test_fast_stark_sharded_byte_identical():

@@ -51,7 +51,8 @@ def test_stir_roundtrip(sf, b, n):
     proof = stir.prove(_rand_polys(ext, b=b, n=n))
     assert stir.verify(proof)
     d, N, off, t, R = stir._schedule(n)
-    assert len(proof.roots) == R + 1
+    assert len(proof.round_roots) == R
+    assert len(proof.group_roots) == 1
     assert len(proof.final_coeffs) <= d[R] // 4
 
 
@@ -76,9 +77,9 @@ def test_stir_rejects_tampering():
 
     # flip a bit in an opened row -> leaf digest mismatch
     bad = copy.deepcopy(proof)
-    row = bytearray(bad.openings[0][0].row)
+    row = bytearray(bad.batch_openings[0][0].row)
     row[0] ^= 1
-    bad.openings[0][0].row = bytes(row)
+    bad.batch_openings[0][0].row = bytes(row)
     with pytest.raises(AssertionError):
         stir.verify(bad)
 
@@ -98,8 +99,8 @@ def test_stir_rejects_tampering():
 
     # swap a commitment root -> transcript diverges and paths fail
     bad = copy.deepcopy(proof)
-    bad.roots = list(bad.roots)
-    bad.roots[1] = bytes(32)
+    bad.round_roots = list(bad.round_roots)
+    bad.round_roots[0] = bytes(32)
     with pytest.raises(AssertionError):
         stir.verify(bad)
 
@@ -113,7 +114,8 @@ def test_stir_rejects_grafted_openings():
     proof = stir.prove(_rand_polys(ext, b=2, n=1 << 10))
     other = stir.prove(_rand_polys(ext, b=2, n=1 << 10, seed=5))
     bad = copy.deepcopy(proof)
-    bad.openings = other.openings
+    bad.batch_openings = other.batch_openings
+    bad.round_openings = other.round_openings
     with pytest.raises(AssertionError):
         stir.verify(bad)
 
@@ -135,7 +137,8 @@ def test_stir_beats_batched_fri_on_proof_size():
     fri_rows = len(fp.batch_openings) * len(fp.batch_openings[0]) + sum(
         len(q) for q in fp.layer_openings
     )
-    stir_rows = sum(len(per_round) for per_round in sp.openings)
+    stir_rows = (len(sp.batch_openings) * len(sp.batch_openings[0])
+                 + sum(len(per_round) for per_round in sp.round_openings))
     # at this small n the FRI has only 5 layers; the row advantage still
     # shows (66 vs 128) and widens with depth (see the 2^20 schedule test)
     assert stir_rows < fri_rows * 2 // 3
@@ -148,3 +151,29 @@ def test_stir_beats_batched_fri_on_proof_size():
         + 16 * len(fp.final_coeffs)
     )
     assert sp.size_bytes(ext) < fri_size
+
+
+def test_stir_sharded_byte_identical():
+    """STIR over an 8-device mesh (sharded coset NTTs + sharded index-tree
+    builds) produces the same proof as the single-device path."""
+    import jax
+    from jax.sharding import Mesh
+
+    ext = Goldilocks.extension
+    polys = _rand_polys(ext, b=2, n=1 << 12)
+    cfg = StirConfig(ext, k=4, blowup=2, security_bits=8, final_len=16)
+    single = Stir(cfg).prove(polys)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shards",))
+    sharded = Stir(cfg, mesh=mesh).prove(polys)
+
+    assert sharded.group_roots == single.group_roots
+    assert sharded.round_roots == single.round_roots
+    assert sharded.betas == single.betas
+    assert sharded.final_coeffs == single.final_coeffs
+
+    def flat(proof):
+        paths = [p for q in proof.batch_openings for p in q]
+        paths += [p for rnd in proof.round_openings for p in rnd]
+        return [(p.row, tuple(p.groups)) for p in paths]
+
+    assert flat(sharded) == flat(single)

@@ -95,6 +95,36 @@ class FastTranscript:
             for i in range(count)
         ]
 
+    def grind(self, bits: int) -> bytes:
+        """Proof-of-work (prover side): find an 8-byte nonce whose hash
+        against the current state has ``bits`` leading zero bits, absorb it.
+        Grinding before query sampling makes grinding the query set cost
+        2^bits hashes per attempt — the standard way to buy back soundness
+        bits without more queries."""
+        if bits == 0:
+            return b""
+        assert 0 < bits <= 32
+        n = 0
+        while True:
+            nonce = n.to_bytes(8, "little")
+            h = hashlib.sha256(self._state + b"\x04" + nonce).digest()
+            if int.from_bytes(h[:4], "big") >> (32 - bits) == 0:
+                self.absorb(nonce)
+                return nonce
+            n += 1
+
+    def check_grind(self, bits: int, nonce: bytes):
+        """Verifier side of grind(): check + absorb."""
+        if bits == 0:
+            assert nonce == b"", "unexpected grinding nonce"
+            return
+        assert len(nonce) == 8, "bad grinding nonce"
+        h = hashlib.sha256(self._state + b"\x04" + nonce).digest()
+        assert int.from_bytes(h[:4], "big") >> (32 - bits) == 0, (
+            "grinding check failed"
+        )
+        self.absorb(nonce)
+
 
 # --------------------------------------------------------------- config
 @dataclass
@@ -107,6 +137,7 @@ class BatchedFriConfig:
     arity: int = 4           # Merkle tree fan-in
     fold_factor: int = 4     # F-to-1 folds per FRI layer
     final_len: int = 32  # ship the tail in the clear at this coeff length
+    grinding_bits: int = 0   # PoW before query sampling (adds ~bits security)
 
     def __post_init__(self):
         assert self.blowup >= 2 and self.blowup & (self.blowup - 1) == 0
@@ -115,6 +146,7 @@ class BatchedFriConfig:
         assert f in (2, 4, 8, 16)
         assert self.final_len >= 1 and self.final_len & (self.final_len - 1) == 0
         assert self.queries >= 1
+        assert 0 <= self.grinding_bits <= 32
 
 
 @dataclass
@@ -139,6 +171,7 @@ class BatchedFriProof:
     final_coeffs: List          # layer R coefficients, in the clear
     batch_openings: List[List[IndexMerklePath]]    # [query][group]
     layer_openings: List[List[IndexMerklePath]]    # [query][layer-1]
+    pow_nonce: bytes = b""                         # grinding nonce (if any)
 
     @property
     def b(self) -> int:
@@ -256,9 +289,9 @@ class BatchedFri:
     def _transcript(self, b: int, n: int) -> FastTranscript:
         tr = FastTranscript(b"batched-fri")
         tr.absorb(
-            b"%d/%d/%d/%d/%d/%d/%d"
+            b"%d/%d/%d/%d/%d/%d/%d/%d"
             % (b, n, self.cfg.blowup, self.cfg.arity, self.cfg.fold_factor,
-               self.cfg.queries, self.cfg.final_len)
+               self.cfg.queries, self.cfg.final_len, self.cfg.grinding_bits)
         )
         return tr
 
@@ -353,6 +386,7 @@ class BatchedFri:
         final_coeffs = ke.unpack(np.asarray(cur))
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in final_coeffs))
 
+        pow_nonce = tr.grind(cfg.grinding_bits)
         idxs = tr.challenge_indices(cfg.queries, N // F)
 
         per_group = [t.open_many(idxs) for t in trees]
@@ -373,6 +407,7 @@ class BatchedFri:
             layer_roots=[t.root() for t in layer_trees],
             final_coeffs=final_coeffs,
             batch_openings=batch_openings, layer_openings=layer_openings,
+            pow_nonce=pow_nonce,
         )
 
     # ------------------------------------------------------------- verify
@@ -404,6 +439,7 @@ class BatchedFri:
             if r < R - 1:
                 tr.absorb(proof.layer_roots[r])
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in proof.final_coeffs))
+        tr.check_grind(cfg.grinding_bits, proof.pow_nonce)
         idxs = tr.challenge_indices(cfg.queries, N // F)
 
         inv_F = ext.inv(ext.from_int(F))

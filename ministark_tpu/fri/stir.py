@@ -76,9 +76,11 @@ class StirConfig:
     field: object
     k: int = 4                 # per-round folding factor (>= 4: rate must improve)
     blowup: int = 2            # initial inverse rate
-    security_bits: int = 32    # per-round query soundness target (no grinding)
+    security_bits: int = 32    # per-round query soundness target
     final_len: int = 32        # ship the final fold in the clear at this length
     arity: int = 4             # Merkle tree fan-in
+    grinding_bits: int = 0     # PoW before each query sampling: buys
+                               # grinding_bits of the target without queries
 
     def __post_init__(self):
         assert self.k in (4, 8, 16), "k must exceed the per-round domain shrink (2)"
@@ -86,6 +88,8 @@ class StirConfig:
         assert self.arity >= 2 and self.arity & (self.arity - 1) == 0
         assert self.final_len >= 1 and self.final_len & (self.final_len - 1) == 0
         assert self.security_bits >= 1
+        assert 0 <= self.grinding_bits <= 32
+        assert self.grinding_bits < self.security_bits
 
 
 @dataclass
@@ -111,6 +115,7 @@ class StirProof:
     final_coeffs: List         # p = Fold_k(f_R, r_R), in the clear
     batch_openings: List[List[IndexMerklePath]]   # [query][group], idxs_0
     round_openings: List[List[IndexMerklePath]]   # [i-1][query]: C_i rows
+    pow_nonces: List[bytes] = None                # per-query-phase grinding
 
     @property
     def b(self) -> int:
@@ -259,9 +264,10 @@ class Stir:
             c = off[i] * pow(pow(off[i - 1], k, p), p - 2, p) % p
             assert pow(c, N[i], p) != 1, "coset offsets collide — pick new ones"
         t = []
+        lam = cfg.security_bits - cfg.grinding_bits
         for i in range(R + 1):
             rate_log = (N[i] // d[i]).bit_length() - 1
-            t.append(min(max(1, -(-cfg.security_bits // rate_log)), N[i] // k))
+            t.append(min(max(1, -(-lam // rate_log)), N[i] // k))
         assert d[R] >= k and N[R] >= k
         for i in range(1, R + 1):
             assert t[i - 1] + 1 < d[i], (
@@ -272,9 +278,9 @@ class Stir:
     def _transcript(self, b: int, n: int) -> FastTranscript:
         tr = FastTranscript(b"stir")
         cfg = self.cfg
-        tr.absorb(b"%d/%d/%d/%d/%d/%d/%d" % (
+        tr.absorb(b"%d/%d/%d/%d/%d/%d/%d/%d" % (
             b, n, cfg.k, cfg.blowup, cfg.security_bits, cfg.final_len,
-            cfg.arity,
+            cfg.arity, cfg.grinding_bits,
         ))
         return tr
 
@@ -370,6 +376,7 @@ class Stir:
         round_trees: List[IndexMerkleTree] = []
         betas: List = []
         all_idxs: List[List[int]] = []
+        pow_nonces: List[bytes] = []
         for i in range(1, R + 1):
             r = tr.challenge_scalar(ext)
             cur = _fold_factor_jit(ke, cur, jnp.asarray(ke.pack_scalar(r)), k)
@@ -386,6 +393,7 @@ class Stir:
             betas.append(beta)
             tr.absorb(_scalar_bytes(ext, beta))
 
+            pow_nonces.append(tr.grind(cfg.grinding_bits))
             idxs = self._dedupe(tr.challenge_indices(t[i - 1], N[i - 1] // k))
             all_idxs.append(idxs)
             r_cor = tr.challenge_scalar(ext)
@@ -413,6 +421,7 @@ class Stir:
         cur = _fold_factor_jit(ke, cur, jnp.asarray(ke.pack_scalar(r_fin)), k)
         final_coeffs = ke.unpack(np.asarray(cur[: d[R] // k]))
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in final_coeffs))
+        pow_nonces.append(tr.grind(cfg.grinding_bits))
         idxs_fin = self._dedupe(tr.challenge_indices(t[R], N[R] // k))
         all_idxs.append(idxs_fin)
 
@@ -430,6 +439,7 @@ class Stir:
             round_roots=[tree.root() for tree in round_trees],
             betas=betas, final_coeffs=final_coeffs,
             batch_openings=batch_openings, round_openings=round_openings,
+            pow_nonces=pow_nonces,
         )
 
     def _apply_quot_degcor(self, cur, G, r_cor, d_i: int):
@@ -461,6 +471,8 @@ class Stir:
         assert len(proof.betas) == R
         assert len(proof.round_openings) == R
         assert len(proof.final_coeffs) <= d[R] // k
+        pow_nonces = proof.pow_nonces or [b""] * (R + 1)
+        assert len(pow_nonces) == R + 1
 
         if transcript is None:
             assert len(proof.group_sizes) == 1
@@ -565,6 +577,7 @@ class Stir:
             assert self._ood_ok(z), "out-of-domain sample hit the prime field"
             beta = proof.betas[i - 1]
             tr.absorb(_scalar_bytes(ext, beta))
+            tr.check_grind(cfg.grinding_bits, pow_nonces[i - 1])
             idxs = self._dedupe(tr.challenge_indices(t[i - 1], N[i - 1] // k))
             if i - 1 == 0:
                 assert len(proof.batch_openings) == len(idxs)
@@ -592,6 +605,7 @@ class Stir:
 
         r_fin = tr.challenge_scalar(ext)
         tr.absorb(b"".join(_scalar_bytes(ext, s) for s in proof.final_coeffs))
+        tr.check_grind(cfg.grinding_bits, pow_nonces[R])
         idxs_fin = self._dedupe(tr.challenge_indices(t[R], N[R] // k))
         if R == 0:
             assert len(proof.batch_openings) == len(idxs_fin)

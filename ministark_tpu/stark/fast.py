@@ -63,6 +63,7 @@ class FastStarkConfig:
     fold_factor: int = 4       # FRI F-to-1 folds per layer / STIR k
     final_len: int = 32
     lde_backend: str = "fri"   # "fri" (fri/batched.py) | "stir" (fri/stir.py)
+    grinding_bits: int = 0     # PoW before query sampling (both backends)
 
 
 @dataclass
@@ -110,7 +111,7 @@ class FastStark:
             self.fri = Stir(StirConfig(
                 self.ext, k=config.fold_factor, blowup=config.blowup,
                 security_bits=config.queries, final_len=config.final_len,
-                arity=config.arity,
+                arity=config.arity, grinding_bits=config.grinding_bits,
             ), mesh=mesh, mesh_axis=mesh_axis)
         else:
             assert config.lde_backend == "fri", config.lde_backend
@@ -118,6 +119,7 @@ class FastStark:
                 self.ext, blowup=config.blowup, queries=config.queries,
                 arity=config.arity, fold_factor=config.fold_factor,
                 final_len=config.final_len,
+                grinding_bits=config.grinding_bits,
             ), mesh=mesh, mesh_axis=mesh_axis)
 
     def _transcript(self, width: int, n_transitions: int, n: int) -> FastTranscript:

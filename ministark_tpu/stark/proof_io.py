@@ -135,6 +135,13 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
     out += len(fp.final_coeffs).to_bytes(4, "little")
     for c in fp.final_coeffs:
         _w_bytes(out, ext.serialize_compressed(c), 1)
+    if stir:
+        nonces = fp.pow_nonces or []
+        out += len(nonces).to_bytes(2, "little")
+        for nc in nonces:
+            _w_bytes(out, nc, 1)
+    else:
+        _w_bytes(out, fp.pow_nonce, 1)
 
     def w_openings(paths):
         out.extend(len(paths).to_bytes(2, "little"))
@@ -183,6 +190,12 @@ def fast_proof_from_bytes(stark_field, data: bytes):
         if stir else []
     )
     final_coeffs = [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(4))]
+    if stir:
+        pow_nonces = [r.blob(1) for _ in range(r.u(2))]
+        pow_nonce = b""
+    else:
+        pow_nonces = None
+        pow_nonce = r.blob(1)
 
     def r_openings():
         paths = []
@@ -200,12 +213,14 @@ def fast_proof_from_bytes(stark_field, data: bytes):
             group_sizes=group_sizes, n=n, group_roots=group_roots,
             round_roots=inner_roots, betas=betas, final_coeffs=final_coeffs,
             batch_openings=batch_openings, round_openings=inner_openings,
+            pow_nonces=pow_nonces,
         )
     else:
         fri_proof = BatchedFriProof(
             group_sizes=group_sizes, n=n, group_roots=group_roots,
             layer_roots=inner_roots, final_coeffs=final_coeffs,
             batch_openings=batch_openings, layer_openings=inner_openings,
+            pow_nonce=pow_nonce,
         )
     return FastStarkProof(
         width=width, transitions=transitions, point_evals=point_evals,

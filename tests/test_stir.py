@@ -177,3 +177,38 @@ def test_stir_sharded_byte_identical():
         return [(p.row, tuple(p.groups)) for p in paths]
 
     assert flat(sharded) == flat(single)
+
+
+def test_grinding_roundtrip_and_rejection():
+    """grinding_bits: PoW nonce must be present and valid; the STIR
+    schedule spends fewer queries for the same security target."""
+    ext = Goldilocks.extension
+    polys = _rand_polys(ext, b=2, n=1 << 10)
+
+    g = Stir(StirConfig(ext, k=4, blowup=2, security_bits=16, final_len=16,
+                        grinding_bits=8))
+    ng = Stir(StirConfig(ext, k=4, blowup=2, security_bits=16, final_len=16))
+    proof = g.prove(polys)
+    assert g.verify(proof)
+    assert all(len(nc) == 8 for nc in proof.pow_nonces)
+    # fewer queries than the no-grinding schedule at every round
+    tg, tn = g._schedule(1 << 10)[3], ng._schedule(1 << 10)[3]
+    assert all(a <= b for a, b in zip(tg, tn)) and tg[0] < tn[0]
+
+    bad = copy.deepcopy(proof)
+    bad.pow_nonces = list(bad.pow_nonces)
+    bad.pow_nonces[0] = bytes(8)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        g.verify(bad)
+
+    # batched FRI grinding
+    fri = BatchedFri(BatchedFriConfig(ext, blowup=2, queries=4, arity=4,
+                                      final_len=16, grinding_bits=8))
+    fp = fri.prove(polys)
+    assert len(fp.pow_nonce) == 8
+    assert fri.verify(fp)
+    bad = copy.deepcopy(fp)
+    bad.pow_nonce = bytes(8)
+    with _pytest.raises(AssertionError):
+        fri.verify(bad)

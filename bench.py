@@ -24,11 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from ministark_tpu.utils.cache import setup_jax_cache
+
+setup_jax_cache(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _field():
@@ -107,23 +105,25 @@ def fast_prove(steps):
     from ministark_tpu.stark.fast import FastStark, FastStarkConfig
 
     sf = _field()
-    dtrace = _device_trace(sf, steps)
+    batch = int(os.environ.get("BENCH_BATCH", "1"))  # prove_many(B traces)
+    traces = [_device_trace(sf, steps) for _ in range(batch)]
     stark = FastStark(FastStarkConfig(
         sf, steps, queries=32, arity=int(os.environ.get("BENCH_ARITY", "4")),
         lde_backend="stir" if os.environ.get("BENCH_MODE") == "stir" else "fri",
     ))
 
     t0 = time.time()
-    proof = stark.prove(dtrace)
-    t_prove = time.time() - t0
+    proof = stark.prove_many(traces)
+    t_prove = (time.time() - t0) / batch   # per-trace: rows/s counts B*steps
 
     t_verify = None
     if os.environ.get("BENCH_SKIP_VERIFY") != "1":
-        cons = stark._constraint_polys(dtrace)
+        cons = [stark._constraint_polys(t) for t in traces]
         t0 = time.time()
-        assert stark.verify(cons, proof)
+        assert stark.verify_many(cons, proof)
         t_verify = time.time() - t0
-    print(f"# fast proof size {proof.size_bytes() / 1e6:.2f} MB", file=sys.stderr)
+    print(f"# fast proof size {proof.size_bytes() / 1e6:.2f} MB"
+          f" (batch {batch})", file=sys.stderr)
     return t_prove, t_verify
 
 

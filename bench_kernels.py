@@ -27,10 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+from ministark_tpu.utils.cache import setup_jax_cache
+
+setup_jax_cache(os.path.dirname(os.path.abspath(__file__)))
 
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +95,39 @@ def kernel_rooflines():
             "value": round(t * 1e3, 2), "unit": "ms",
             "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
         })
+
+    # --- fused Pallas MXU-NTT levels (opt-in path, A/B vs the XLA MXU) ---
+    if jax.default_backend() in ("tpu", "axon") and \
+            os.environ.get("BENCH_SKIP_FUSED") != "1":
+        from ministark_tpu.ops import ntt_mxu
+
+        for logn in (20, 21):
+            m = 1 << logn
+            x = jnp.asarray(gl.pack(
+                rng.integers(0, 1 << 62, size=(2, m), dtype=np.uint64)))
+            old = os.environ.get("MINISTARK_MXU_FUSED")
+            os.environ["MINISTARK_MXU_FUSED"] = "1"
+            try:
+                fns = ntt_mxu.make_mxu_ntt_fns(GOLDILOCKS_FP, m)
+            finally:
+                if old is None:
+                    os.environ.pop("MINISTARK_MXU_FUSED", None)
+                else:
+                    os.environ["MINISTARK_MXU_FUSED"] = old
+            try:
+                ref = get_ntt_fns(GOLDILOCKS_FP, m)[0]
+                assert np.array_equal(np.asarray(fns[0](x)),
+                                      np.asarray(ref(x))), "fused NTT mismatch"
+                t = _time_chained(fns[0], x)
+                bytes_moved = 2 * m * 8 * 8
+                results.append({
+                    "metric": f"gl_ntt_fused_2^{logn}_batch2",
+                    "value": round(t * 1e3, 2), "unit": "ms",
+                    "roofline_frac": round(
+                        bytes_moved / t / (HBM_GBPS * 1e9), 3),
+                })
+            except Exception as e:  # Mosaic may reject until validated
+                print(f"# fused NTT 2^{logn} failed: {e}", file=sys.stderr)
 
     # --- FRI fold (ext field) ---
     ke = get_kernels(GOLDILOCKS_FP2)

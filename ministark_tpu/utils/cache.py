@@ -1,0 +1,56 @@
+"""Host-scoped JAX compilation cache directory.
+
+The persistent compile cache serializes AOT executables. CPU executables are
+compiled FOR THE BUILD HOST's CPU features (this environment's driver moves
+the repo between machines with different avx512 feature sets), and loading
+one on a host missing those features SIGILLs/segfaults inside
+``compilation_cache.get_executable_and_time`` (observed: a full-suite
+segfault after the repo migrated hosts). Scope the cache directory by a
+fingerprint of the host CPU so every machine keeps its own entries; TPU
+executables are remote-compiled and land in the same per-host dir (cheap —
+they re-fetch once per host).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def _cpu_fingerprint() -> str:
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.strip())
+                    break
+                if line.startswith("model name"):
+                    bits.append(line.strip())
+    except OSError:
+        bits.append(platform.processor())
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
+def jax_cache_dir(repo_root: str = None) -> str:
+    """`.jax_cache/<cpu-fingerprint>` under the repo root (created)."""
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    d = os.path.join(repo_root, ".jax_cache", _cpu_fingerprint())
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def setup_jax_cache(repo_root: str = None, min_compile_secs: float = 0.3):
+    """Point jax at the host-scoped cache (safe to call repeatedly)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", jax_cache_dir(repo_root))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception:
+        pass

@@ -16,8 +16,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+from ministark_tpu.utils.cache import setup_jax_cache
+
+setup_jax_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 from ministark_tpu.fields import GOLDILOCKS_FP2

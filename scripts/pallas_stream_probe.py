@@ -14,8 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+from ministark_tpu.utils.cache import setup_jax_cache
+
+setup_jax_cache()
 
 
 def chain(fn, *args, iters=8):

@@ -13,8 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+from ministark_tpu.utils.cache import setup_jax_cache
+
+setup_jax_cache()
 
 
 def run(fn, x, iters, pull):

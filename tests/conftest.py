@@ -16,9 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# field-kernel graphs are wide; cache compiled executables across test runs
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# field-kernel graphs are wide; cache compiled executables across test runs.
+# The cache dir is HOST-scoped (utils/cache.py): loading CPU executables
+# compiled on a different machine's feature set segfaults the process.
+from ministark_tpu.utils.cache import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()

@@ -99,9 +99,9 @@ def device_prove(steps):
 
 def fast_prove(steps):
     """BENCH_MODE=fast: the non-parity FastStark (batched FRI, 4-ary
-    trees, binary row hashing — BASELINE config 4). BENCH_MODE=stir swaps
-    the LDE backend for STIR (fri/stir.py: geometrically decaying query
-    counts, smallest proofs)."""
+    trees, binary row hashing — BASELINE config 4). BENCH_MODE=stir /
+    BENCH_MODE=whir swap the LDE backend (fri/stir.py, fri/whir.py:
+    geometrically decaying query counts, smallest proofs)."""
     from ministark_tpu.stark.fast import FastStark, FastStarkConfig
 
     sf = _field()
@@ -109,7 +109,9 @@ def fast_prove(steps):
     traces = [_device_trace(sf, steps) for _ in range(batch)]
     stark = FastStark(FastStarkConfig(
         sf, steps, queries=32, arity=int(os.environ.get("BENCH_ARITY", "4")),
-        lde_backend="stir" if os.environ.get("BENCH_MODE") == "stir" else "fri",
+        lde_backend=(os.environ.get("BENCH_MODE")
+                     if os.environ.get("BENCH_MODE") in ("stir", "whir")
+                     else "fri"),
     ))
 
     t0 = time.time()
@@ -157,7 +159,8 @@ def main():
     import jax.numpy as jnp
 
     jnp.zeros((8, 128), jnp.uint32).sum().block_until_ready()  # tunnel warmup
-    prove_fn = (fast_prove if os.environ.get("BENCH_MODE") in ("fast", "stir")
+    prove_fn = (fast_prove
+                if os.environ.get("BENCH_MODE") in ("fast", "stir", "whir")
                 else device_prove)
     t_cold, _ = (prove_fn(steps)[0], None) if os.environ.get("BENCH_COLD_ONLY") != "1" else (None, None)
     # the tunnel's transfer/dispatch latency swings 2-3x between runs;
@@ -193,7 +196,7 @@ def main():
 
     model = os.environ.get("BENCH_MODEL", "fibonacci")
     tag = "fib" if model == "fibonacci" else model
-    if os.environ.get("BENCH_MODE") in ("fast", "stir"):
+    if os.environ.get("BENCH_MODE") in ("fast", "stir", "whir"):
         tag = os.environ["BENCH_MODE"] + "_" + tag
     print(json.dumps({
         "metric": f"e2e_prove_rows_per_s_{tag}{steps}_" + os.environ.get("BENCH_FIELD", "goldilocks"),

@@ -39,17 +39,25 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
+import jax
+
 from ..fri.batched import (
     BatchedFri,
     BatchedFriConfig,
-    BatchedFriProof,
     FastTranscript,
     _scalar_bytes,
 )
-from ..ops.ntt_device import get_ntt_fns
-from ..ops.poly_device import mix_columns_jit
+from ..ops.poly_device import mix_columns
 from ..ops.registry import get_kernels, lift_base_array
 from .engine import DeviceTrace, _eval_many_jit
+
+
+@partial(jax.jit, static_argnums=0)
+def _mix_many_jit(ke, cols3, weights):
+    """(B, total, n, *elem), (total, *elem) -> (B, n, *elem) per-trace mix."""
+    return jax.vmap(lambda c: mix_columns(ke, c, weights))(cols3)
 
 
 @dataclass
@@ -62,7 +70,7 @@ class FastStarkConfig:
     arity: int = 4             # Merkle fan-in
     fold_factor: int = 4       # FRI F-to-1 folds per layer / STIR k
     final_len: int = 32
-    lde_backend: str = "fri"   # "fri" (fri/batched.py) | "stir" (fri/stir.py)
+    lde_backend: str = "fri"   # "fri" | "stir" | "whir" (fri/{batched,stir,whir}.py)
     grinding_bits: int = 0     # PoW before query sampling (both backends)
 
 
@@ -72,14 +80,17 @@ class FastStarkProof:
     transitions: int
     point_evals: List[List]            # [z_j][poly i] extension evaluations
     fri_proof: object                  # BatchedFriProof | StirProof
+    n_traces: int = 1                  # batched multi-trace proofs (prove_many)
 
     def size_bytes(self) -> int:
         fp = self.fri_proof
         paths = [p for q in fp.batch_openings for p in q]
-        if hasattr(fp, "round_openings"):      # STIR backend
+        if hasattr(fp, "round_openings"):      # STIR / WHIR backends
             paths += [p for rnd in fp.round_openings for p in rnd]
             roots = len(fp.group_roots) + len(fp.round_roots)
             scalars = len(fp.final_coeffs) + len(fp.betas)
+            if hasattr(fp, "sumcheck"):        # WHIR sumcheck messages
+                scalars += sum(3 * len(it) for it in fp.sumcheck)
         else:
             paths += [p for q in fp.layer_openings for p in q]
             roots = len(fp.group_roots) + len(fp.layer_roots)
@@ -113,6 +124,14 @@ class FastStark:
                 security_bits=config.queries, final_len=config.final_len,
                 arity=config.arity, grinding_bits=config.grinding_bits,
             ), mesh=mesh, mesh_axis=mesh_axis)
+        elif config.lde_backend == "whir":
+            from ..fri.whir import Whir, WhirConfig
+
+            self.fri = Whir(WhirConfig(
+                self.ext, k=config.fold_factor, blowup=config.blowup,
+                security_bits=config.queries, final_len=config.final_len,
+                arity=config.arity, grinding_bits=config.grinding_bits,
+            ), mesh=mesh, mesh_axis=mesh_axis)
         else:
             assert config.lde_backend == "fri", config.lde_backend
             self.fri = BatchedFri(BatchedFriConfig(
@@ -122,14 +141,15 @@ class FastStark:
                 grinding_bits=config.grinding_bits,
             ), mesh=mesh, mesh_axis=mesh_axis)
 
-    def _transcript(self, width: int, n_transitions: int, n: int) -> FastTranscript:
+    def _transcript(self, width: int, n_transitions: int, n: int,
+                    n_traces: int = 1) -> FastTranscript:
         c = self.config
         label = (b"fast-stark" if c.lde_backend == "fri"
                  else b"fast-stark/" + c.lde_backend.encode())
         tr = FastTranscript(label)
-        tr.absorb(b"%d/%d/%d/%d/%d/%d/%d/%d/%d" % (
+        tr.absorb(b"%d/%d/%d/%d/%d/%d/%d/%d/%d/%d" % (
             width, n_transitions, c.steps, n, c.queries, c.point_queries,
-            c.blowup, c.arity, c.final_len,
+            c.blowup, c.arity, c.final_len, n_traces,
         ))
         return tr
 
@@ -150,74 +170,97 @@ class FastStark:
 
     # ---------------------------------------------------------------- prove
     def prove(self, trace: DeviceTrace) -> FastStarkProof:
+        return self.prove_many([trace])
+
+    def prove_many(self, traces: List[DeviceTrace]) -> FastStarkProof:
+        """B same-shape traces in ONE proof: every NTT, Merkle build and
+        the FRI/STIR chain batch over all B*(w+t)+B polynomials — the
+        per-trace cost amortizes toward pure bandwidth (the TPU throughput
+        regime; no reference counterpart)."""
         ext, ke = self.ext, self.ke
-        all_coeffs = self._constraint_polys(trace)
-        total, n = int(all_coeffs.shape[0]), int(all_coeffs.shape[1])
-        w = trace.width
-        tr = self._transcript(w, total - w, n)
+        B = len(traces)
+        all_b = jnp.stack([self._constraint_polys(t) for t in traces])
+        total, n = int(all_b.shape[1]), int(all_b.shape[2])
+        w = traces[0].width
+        assert all(t.width == w for t in traces)
+        tr = self._transcript(w, total - w, n, B)
 
         # 1. COMMIT the constraint polynomials, absorb, THEN draw challenges
         #    (nothing may be squeezed before the witness commitment binds).
-        ext_coeffs = lift_base_array(ke, all_coeffs)      # (w+t, n, *ext)
-        tree_w = self.fri.commit(ext_coeffs)
+        ext_flat = lift_base_array(
+            ke, all_b.reshape((B * total, n) + all_b.shape[3:])
+        )                                                 # (B(w+t), n, *ext)
+        tree_w = self.fri.commit(ext_flat)
         tr.absorb(tree_w.root())
 
         r = tr.challenge_scalar(ext)
         weights = jnp.asarray(ke.pack([ext.pow(r, i) for i in range(total)]))
-        validity = mix_columns_jit(ke, ext_coeffs, weights)[None]  # (1, n, *)
+        ext_3d = ext_flat.reshape((B, total, n) + ext_flat.shape[2:])
+        validities = _mix_many_jit(ke, ext_3d, weights)   # (B, n, *ext)
 
         point_evals = []
         for _ in range(self.config.point_queries):
             z = tr.challenge_scalar(ext)
-            ev = np.asarray(_eval_many_jit(ke, ext_coeffs, jnp.asarray(ke.pack_scalar(z))))
-            evals = [ke.unpack(ev[i : i + 1])[0] for i in range(total)]
+            ev = np.asarray(_eval_many_jit(ke, ext_flat, jnp.asarray(ke.pack_scalar(z))))
+            evals = [ke.unpack(ev[i : i + 1])[0] for i in range(B * total)]
             tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
             point_evals.append(evals)
 
-        # 2. commit validity (depends on r), absorb, then run the FRI
-        tree_v = self.fri.commit(validity)
+        # 2. commit the validities (they depend on r), absorb, run the LDT
+        tree_v = self.fri.commit(validities)
         tr.absorb(tree_v.root())
         fri_proof = self.fri.prove(
-            groups=[ext_coeffs, validity], trees=[tree_w, tree_v], transcript=tr,
+            groups=[ext_flat, validities], trees=[tree_w, tree_v], transcript=tr,
         )
         return FastStarkProof(
             width=w, transitions=total - w,
-            point_evals=point_evals, fri_proof=fri_proof,
+            point_evals=point_evals, fri_proof=fri_proof, n_traces=B,
         )
 
     # --------------------------------------------------------------- verify
     def verify(self, constrain_coeffs, proof: FastStarkProof) -> bool:
         """``constrain_coeffs``: (w+t, n, *base_elem) packed out-of-band
-        Constrains, exactly as DeviceEngine.verify consumes them.
+        Constrains, exactly as DeviceEngine.verify consumes them."""
+        return self.verify_many([constrain_coeffs], proof)
+
+    def verify_many(self, constrain_list, proof: FastStarkProof) -> bool:
+        """Batched verification: one (w+t, n, *base_elem) out-of-band
+        Constrains array per trace.
 
         Checks (in transcript order): witness commitment -> r -> point
         evaluations against the out-of-band polynomials -> validity
-        commitment -> the batched FRI chain; then (a) every opened witness
-        row equals the verifier's OWN LDE of the constraint polynomials at
-        the queried coset points (binding the committed codewords to the
-        real polynomials), and (b) the opened validity values satisfy
-        validity == sum_i r^i f_i."""
+        commitment -> the batched FRI/STIR chain; then (a) every opened
+        witness row equals the verifier's OWN LDE of the constraint
+        polynomials at the queried coset points (binding the committed
+        codewords to the real polynomials), and (b) each trace's opened
+        validity value satisfies validity_i == sum_j r^j f_{i,j}."""
         ext, ke = self.ext, self.ke
         cfg = self.config
+        B = proof.n_traces
+        assert len(constrain_list) == B
         total = proof.width + proof.transitions
-        assert constrain_coeffs.shape[0] == total
-        n = int(constrain_coeffs.shape[1])
+        n = int(constrain_list[0].shape[1])
+        for cc in constrain_list:
+            assert cc.shape[0] == total and int(cc.shape[1]) == n
         fp = proof.fri_proof
         assert fp.n == n, "FRI domain size mismatch"
-        assert fp.group_sizes == [total, 1], "unexpected commitment groups"
-        tr = self._transcript(proof.width, proof.transitions, n)
+        assert fp.group_sizes == [B * total, B], "unexpected commitment groups"
+        tr = self._transcript(proof.width, proof.transitions, n, B)
 
         tr.absorb(fp.group_roots[0])
         r = tr.challenge_scalar(ext)
-        ext_coeffs = lift_base_array(ke, jnp.asarray(constrain_coeffs))
+        stacked = np.stack([np.asarray(cc) for cc in constrain_list])
+        ext_coeffs = lift_base_array(
+            ke, jnp.asarray(stacked.reshape((B * total,) + stacked.shape[2:]))
+        )
         r_pows = [ext.pow(r, i) for i in range(total)]
 
         assert len(proof.point_evals) == cfg.point_queries
         for evals in proof.point_evals:
             z = tr.challenge_scalar(ext)
             ev = np.asarray(_eval_many_jit(ke, ext_coeffs, jnp.asarray(ke.pack_scalar(z))))
-            mine = [ke.unpack(ev[i : i + 1])[0] for i in range(total)]
-            assert len(evals) == total
+            mine = [ke.unpack(ev[i : i + 1])[0] for i in range(B * total)]
+            assert len(evals) == B * total
             for a, b in zip(mine, evals):
                 assert a == b, "point evaluation mismatch"
             tr.absorb(b"".join(_scalar_bytes(ext, e) for e in evals))
@@ -228,7 +271,7 @@ class FastStark:
         # (a) bind committed rows to the real polynomials: recompute the LDE
         # over the backend's layer-0 domain (one batched component NTT) and
         # compare at every opened point
-        N, F, lde = self.fri.binding_lde(ext_coeffs)   # (w+t, N, *ext)
+        N, F, lde = self.fri.binding_lde(ext_coeffs)   # (B(w+t), N, *ext)
         flat_idx = []
         for idx, _ in res.rows:
             flat_idx.extend(idx + t * (N // F) for t in range(F))
@@ -236,11 +279,15 @@ class FastStark:
         for qi, (_idx, fvals) in enumerate(res.rows):
             for t in range(F):
                 mine_rows = ke.unpack(gathered[:, qi * F + t])
-                for i in range(total):
+                for i in range(B * total):
                     assert mine_rows[i] == fvals[t][i], "committed row mismatch"
-                # (b) validity row relation
-                acc = ext.zero()
-                for i in range(total):
-                    acc = ext.add(acc, ext.mul(r_pows[i], fvals[t][i]))
-                assert acc == fvals[t][total], "validity row relation"
+                # (b) per-trace validity row relation
+                for bi in range(B):
+                    acc = ext.zero()
+                    for j in range(total):
+                        acc = ext.add(acc, ext.mul(r_pows[j],
+                                                   fvals[t][bi * total + j]))
+                    assert acc == fvals[t][B * total + bi], (
+                        "validity row relation"
+                    )
         return True

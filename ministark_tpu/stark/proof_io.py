@@ -105,12 +105,15 @@ class _Reader:
 def fast_proof_to_bytes(stark_field, proof) -> bytes:
     ext = stark_field.extension
     fp = proof.fri_proof
+    whir = hasattr(fp, "sumcheck")
     stir = hasattr(fp, "round_openings")
     out = bytearray(_FAST_MAGIC)
     _w_bytes(out, stark_field.name.encode(), 1)
-    out += (1 if stir else 0).to_bytes(1, "little")   # LDE backend tag
+    # LDE backend tag: 0 = batched FRI, 1 = STIR, 2 = WHIR
+    out += (2 if whir else 1 if stir else 0).to_bytes(1, "little")
     out += proof.width.to_bytes(2, "little")
     out += proof.transitions.to_bytes(2, "little")
+    out += proof.n_traces.to_bytes(2, "little")
 
     out += len(proof.point_evals).to_bytes(2, "little")
     for evals in proof.point_evals:
@@ -132,6 +135,14 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
         out += len(fp.betas).to_bytes(2, "little")
         for bta in fp.betas:
             _w_bytes(out, ext.serialize_compressed(bta), 1)
+    if whir:
+        out += len(fp.sumcheck).to_bytes(2, "little")
+        for it in fp.sumcheck:
+            out += len(it).to_bytes(1, "little")
+            for h in it:
+                assert len(h) == 3
+                for c in h:
+                    _w_bytes(out, ext.serialize_compressed(c), 1)
     out += len(fp.final_coeffs).to_bytes(4, "little")
     for c in fp.final_coeffs:
         _w_bytes(out, ext.serialize_compressed(c), 1)
@@ -164,6 +175,7 @@ def fast_proof_to_bytes(stark_field, proof) -> bytes:
 def fast_proof_from_bytes(stark_field, data: bytes):
     from ..fri.batched import BatchedFriProof
     from ..fri.stir import StirProof
+    from ..fri.whir import WhirProof
     from ..commit.index_tree import IndexMerklePath
     from .fast import FastStarkProof
 
@@ -171,9 +183,13 @@ def fast_proof_from_bytes(stark_field, data: bytes):
     r = _Reader(data)
     assert r.take(4) == _FAST_MAGIC, "bad magic"
     assert r.blob(1).decode() == stark_field.name, "field mismatch"
-    stir = r.u(1) == 1
+    tag = r.u(1)
+    assert tag in (0, 1, 2), f"unknown LDE backend tag {tag}"
+    whir = tag == 2
+    stir = tag >= 1
     width = r.u(2)
     transitions = r.u(2)
+    n_traces = r.u(2)
 
     point_evals = []
     for _ in range(r.u(2)):
@@ -189,6 +205,13 @@ def fast_proof_from_bytes(stark_field, data: bytes):
         [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(2))]
         if stir else []
     )
+    sumcheck = None
+    if whir:
+        sumcheck = [
+            [[ext.deserialize_compressed(r.blob(1)) for _ in range(3)]
+             for _ in range(r.u(1))]
+            for _ in range(r.u(2))
+        ]
     final_coeffs = [ext.deserialize_compressed(r.blob(1)) for _ in range(r.u(4))]
     if stir:
         pow_nonces = [r.blob(1) for _ in range(r.u(2))]
@@ -208,7 +231,14 @@ def fast_proof_from_bytes(stark_field, data: bytes):
     batch_openings = [r_openings() for _ in range(r.u(2))]
     inner_openings = [r_openings() for _ in range(r.u(2))]
     assert r.pos == len(data), "trailing bytes"
-    if stir:
+    if whir:
+        fri_proof = WhirProof(
+            group_sizes=group_sizes, n=n, group_roots=group_roots,
+            round_roots=inner_roots, betas=betas, sumcheck=sumcheck,
+            final_coeffs=final_coeffs, batch_openings=batch_openings,
+            round_openings=inner_openings, pow_nonces=pow_nonces,
+        )
+    elif stir:
         fri_proof = StirProof(
             group_sizes=group_sizes, n=n, group_roots=group_roots,
             round_roots=inner_roots, betas=betas, final_coeffs=final_coeffs,
@@ -224,7 +254,7 @@ def fast_proof_from_bytes(stark_field, data: bytes):
         )
     return FastStarkProof(
         width=width, transitions=transitions, point_evals=point_evals,
-        fri_proof=fri_proof,
+        fri_proof=fri_proof, n_traces=n_traces,
     )
 
 

@@ -226,3 +226,41 @@ def test_fast_stark_rejects_unbound_commitment_forgery():
                             point_evals=point_evals, fri_proof=fri_proof)
     with pytest.raises(AssertionError, match="committed row mismatch"):
         stark.verify(real, forged)
+
+
+@pytest.mark.parametrize("backend", ["fri", "stir", "whir"])
+def test_fast_stark_prove_many(backend):
+    """Batched multi-trace proving: B same-shape traces in one proof; every
+    commitment and the LDT amortize across the batch."""
+    sf = Goldilocks
+    steps = 60
+    traces = [fibonacci_device_trace(sf, steps, secret_b=b) for b in (2, 5, 9)]
+    stark = FastStark(FastStarkConfig(
+        sf, steps, queries=8, point_queries=1, final_len=8,
+        lde_backend=backend,
+    ))
+    proof = stark.prove_many(traces)
+    assert proof.n_traces == 3
+    cons = [_constrains(stark, t) for t in traces]
+    assert stark.verify_many(cons, proof)
+
+    # one wrong trace's constrains -> rejected
+    bad_cons = list(cons)
+    bad_cons[1] = _constrains(stark, fibonacci_device_trace(sf, steps,
+                                                            secret_b=77))
+    with pytest.raises(AssertionError):
+        stark.verify_many(bad_cons, proof)
+
+    # serialization roundtrip keeps the batch
+    from ministark_tpu.stark.proof_io import (
+        fast_proof_from_bytes,
+        fast_proof_to_bytes,
+    )
+    blob = fast_proof_to_bytes(sf, proof)
+    back = fast_proof_from_bytes(sf, blob)
+    assert back.n_traces == 3
+    assert stark.verify_many(cons, back)
+
+    # batching 3 traces costs much less than 3x one trace's proof bytes
+    single = stark.prove(traces[0])
+    assert len(blob) < 2.2 * len(fast_proof_to_bytes(sf, single))

@@ -299,12 +299,12 @@ def fused_supports(n: int) -> bool:
     return supports(n) and n >= (1 << 14)
 
 
-def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
+def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, has_tw, scalar_np,
                        has_pre):
     """Kernel over one (F, rt) tile of positions: x planes -> out planes.
 
     ref order: nl x-planes, [nl coset-premultiply planes], Vd,
-    [nl twiddle planes], nl out-planes."""
+    [nl expanded (rt, F) twiddle planes], nl out-planes."""
 
     def kernel(*refs):
         i = 0
@@ -317,13 +317,15 @@ def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
         vd = refs[i][...]                                        # (NA*F, NB*F)
         i += 1
         tw_refs = None
-        if tw_rep:
+        if has_tw:
             tw_refs = refs[i:i + nl]
             i += nl
         o_refs = refs[i:]
 
         d = _digitize(x_planes, NA).reshape(NA * F, rt)
-        d = jax.lax.optimization_barrier(d)
+        # no optimization_barrier here: the fence only matters for the XLA
+        # lowering of _ntt_axis1 (HBM-split dots); Mosaic keeps everything
+        # in VMEM and cannot lower the primitive (KernelType.TC rejects it)
         R = jax.lax.dot_general(
             d, vd, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -332,14 +334,8 @@ def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
             out = _recombine_gl(R, NB, F, kc_np)
         else:
             out = _recombine_bb(R, NB, F, kc_np)
-        if tw_rep:
-            tw = []
-            for r in tw_refs:
-                t = r[...]                                       # (rows, F)
-                rows = t.shape[0]
-                t = jnp.broadcast_to(t[:, None, :], (rows, tw_rep, F))
-                tw.append(t.reshape(rt, F))
-            out = _mul_planes(out, tuple(tw))
+        if has_tw:
+            out = _mul_planes(out, tuple(r[...] for r in tw_refs))
         if scalar_np is not None:
             out = _mul_planes(
                 out, tuple(jnp.full((1, 1), s, U32) for s in scalar_np)
@@ -350,16 +346,18 @@ def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
     return kernel
 
 
-def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, K_prod, scalar_np,
+def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, scalar_np,
                  interpret, pre=None):
     """One NTT level, fused: planes (B, F, rest...) -> (B, rest..., F).
 
-    tw_flat: tuple of (M, F) u32 twiddle planes (M = prod of the not-yet-
-    transformed factors) or None; output row r = f*K_prod + k_idx uses
-    twiddle row f, so a block of rt consecutive rows needs
-    rows_blk = max(1, rt // K_prod) twiddle rows, each repeated
-    min(rt, K_prod) times. pre: tuple of (n,) planes multiplied into the
-    input before digitizing (coset scaling fused into level 0)."""
+    tw_flat: tuple of (R, F) u32 twiddle planes PRE-EXPANDED to one row per
+    output row (row r = f*K_prod + k_idx uses twiddle row f; the expansion
+    `repeat(tw, K_prod, axis=0)` happens once at construction in
+    make_mxu_ntt_fns) or None. Expanded rows keep every BlockSpec at
+    (rt, F) — Mosaic requires last-two block dims divisible by (8, 128) or
+    full, which the old rt//K_prod row blocks violated once K_prod > rt/8.
+    pre: tuple of (n,) planes multiplied into the input before digitizing
+    (coset scaling fused into level 0)."""
     nl = len(planes)
     B, F = planes[0].shape[0], planes[0].shape[1]
     R = planes[0].size // (B * F)
@@ -384,20 +382,15 @@ def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, K_prod, scalar_np,
         pl.BlockSpec(vd2.shape, lambda b, r: (0, 0), memory_space=pltpu.VMEM)
     )
     args.append(vd2)
-    tw_rep = 0
     if tw_flat is not None:
-        rows_blk = max(1, rt // K_prod)
-        tw_rep = min(rt, K_prod)
         for t in tw_flat:
             in_specs.append(pl.BlockSpec(
-                (rows_blk, F),
-                lambda b, r, rb=rows_blk, kp=K_prod: (r * rt // (kp * rb), 0),
-                memory_space=pltpu.VMEM,
+                (rt, F), lambda b, r: (r, 0), memory_space=pltpu.VMEM
             ))
             args.append(t)
 
-    kern = _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_rep, scalar_np,
-                              pre is not None)
+    kern = _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_flat is not None,
+                              scalar_np, pre is not None)
     out = pl.pallas_call(
         kern,
         out_shape=tuple(
@@ -428,15 +421,13 @@ def _mxu_core_fused(planes, factors, v_mats, tws_flat, NA, NB, kc_np,
     Fs = [1 << lf for lf in factors]
     k = len(Fs)
     planes = tuple(t.reshape((B,) + tuple(Fs)) for t in planes)
-    K_prod = 1
     for lvl in range(k):
         last = lvl == k - 1
         planes = _fused_level(
-            planes, v_mats[lvl], NA, NB, kc_np, tws_flat[lvl], K_prod,
+            planes, v_mats[lvl], NA, NB, kc_np, tws_flat[lvl],
             scalar_np if last else None, interpret,
             pre=pre if lvl == 0 else None,
         )
-        K_prod *= Fs[lvl]
     perm = (0,) + tuple(range(k, 0, -1))
     return tuple(jnp.transpose(t, perm).reshape(B, n) for t in planes)
 

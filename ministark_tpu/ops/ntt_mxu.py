@@ -353,7 +353,7 @@ def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, scalar_np,
     tw_flat: tuple of (R, F) u32 twiddle planes PRE-EXPANDED to one row per
     output row (row r = f*K_prod + k_idx uses twiddle row f; the expansion
     `repeat(tw, K_prod, axis=0)` happens once at construction in
-    make_mxu_ntt_fns) or None. Expanded rows keep every BlockSpec at
+    _build_tables) or None. Expanded rows keep every BlockSpec at
     (rt, F) — Mosaic requires last-two block dims divisible by (8, 128) or
     full, which the old rt//K_prod row blocks violated once K_prod > rt/8.
     pre: tuple of (n,) planes multiplied into the input before digitizing
@@ -471,7 +471,11 @@ def _build_tables(field, n: int, root: int):
     (F_{i+1}, ..., F_{k-1}) + (1,)*i + (F_i,) -- the level-i twiddle
     w^(i1*K) laid out over the axes that survive level i (the (1,)*i block
     broadcasts over the already-produced K_0..K_{i-1} axes). tws_flat[i]:
-    the same table as raw (M, F_i) planes for the fused Pallas level."""
+    the same table expanded HERE to (R_i, F_i) planes -- one row per level
+    output row -- via repeat(W, K_prod, axis=0) with K_prod = prod of the
+    already-transformed factors F_0..F_{i-1} (level-i output row
+    r = i1*K_prod + k_idx uses twiddle row i1 = r // K_prod). This is what
+    lets every fused-level BlockSpec stay (rt, F) at index (r, 0)."""
     ops = _field_ops(field)
     p = field.p
     limbs, NA, NB = _params(p)
@@ -480,6 +484,7 @@ def _build_tables(field, n: int, root: int):
     v_mats, tws, tws_flat = [], [], []
     rem = n
     r = root
+    k_prod = 1                                # prod of transformed factors
     for i, F in enumerate(Fs):
         M = rem // F
         root_f = pow(r, M, p)                 # w2 = w^M, order F
@@ -491,17 +496,24 @@ def _build_tables(field, n: int, root: int):
                 lambda rp, M=M, F=F: _twiddle_matrix(ops, rp, M, F)
             )(r_packed)                       # (M, F[, limbs]) interleaved
             ts = tuple(Fs[i + 1:]) + (1,) * i + (F,)
+
+            def _expand(plane):               # (M, F) -> (M*K_prod, F)
+                if k_prod == 1:
+                    return plane
+                return jnp.repeat(plane, k_prod, axis=0)
+
             if limbs == 2:
                 tws.append((W[..., 0].reshape(ts), W[..., 1].reshape(ts)))
-                tws_flat.append((W[..., 0], W[..., 1]))
+                tws_flat.append((_expand(W[..., 0]), _expand(W[..., 1])))
             else:
                 tws.append((W.reshape(ts),))
-                tws_flat.append((W,))
+                tws_flat.append((_expand(W),))
             r = pow(r, F, p)                  # w1 = w^F, order M
         else:
             tws.append(None)
             tws_flat.append(None)
         rem = M
+        k_prod *= F
     return factors, v_mats, tws, tws_flat
 
 
@@ -531,7 +543,10 @@ def make_mxu_ntt_fns(field, n: int):
         n_inv_planes = (jnp.asarray(np.uint32(n_inv)),)
         n_inv_np = (np.uint32(n_inv),)
 
-    env = os.environ.get("MINISTARK_MXU_FUSED", "0")
+    # default "auto": fused Pallas levels on real TPU (validated bit-exact
+    # on hardware at 2^20/2^21, round 3), XLA lowering elsewhere; tests
+    # force "1" to run the kernels in interpret mode on CPU.
+    env = os.environ.get("MINISTARK_MXU_FUSED", "auto")
     use_fused = fused_supports(n) and (
         env == "1" or (env == "auto" and _on_tpu())
     )

@@ -70,11 +70,16 @@ def test_extreme_values_gl():
 
 @pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
                                         (BABYBEAR_FP, _rand_bb)])
-@pytest.mark.parametrize("n", [1 << 14, 1 << 15])
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 17])
 def test_fused_pallas_matches_device_ntt(field, rand, n, monkeypatch):
     """MINISTARK_MXU_FUSED=1: the fused Pallas level kernels (digitize +
     int8 dot + recombine + twiddle in one VMEM pass) run in interpret mode
-    on CPU — identical integer semantics to the XLA lowering."""
+    on CPU — identical integer semantics to the XLA lowering.
+
+    1<<17 is the smallest 3-level factorization: its level-1 twiddle has
+    K_prod > 1 and exercises the pre-expanded (R, F) twiddle planes
+    (round-2 hardware regression: raw (M, F) planes + an (rt, F) BlockSpec
+    read past row M at every 3-level size, 2^20/2^21 included)."""
     monkeypatch.setenv("MINISTARK_MXU_FUSED", "1")
     x = rand(2, n, seed=11)
     ref_fns = make_ntt_fns(field, n)

@@ -29,6 +29,16 @@ from ministark_tpu.utils.cache import setup_jax_cache
 setup_jax_cache(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Calibration for vs_baseline (BASELINE.md "Calibration"): the host oracle
+# is pure-Python bigint arithmetic; the reference is single-core Rust over
+# ark-ff Montgomery fields. Measured: 258 ns per oracle Goldilocks mul on
+# this class of host vs ~6.5 ns for an ark-ff Fp64 Montgomery mul — both
+# provers execute the same N log N op sequence, so the oracle is ~40x the
+# reference. vs_baseline = vs_host_oracle / 40 estimates the honest
+# speedup over the reference itself; the raw ratio ships alongside.
+PY_VS_RUST_FACTOR = 40.0
+
+
 def _field():
     from ministark_tpu.fields import BabyBear, Goldilocks
 
@@ -86,6 +96,15 @@ def device_prove(steps):
     proof = engine.prove(dtrace)
     t_prove = time.time() - t0
 
+    # engine-internal per-phase wall seconds: device_s separates engine time
+    # from the tunnel's dispatch/transfer noise in the driver JSON
+    phases = dict(engine.phase_seconds)
+    extras = {
+        "device_s": round(sum(phases.values()), 2),
+        "phases": {k: round(v, 2) for k, v in sorted(
+            phases.items(), key=lambda kv: -kv[1])[:8]},
+    }
+
     t_verify = None
     if os.environ.get("BENCH_SKIP_VERIFY") != "1":
         tp = engine._trace_polys(dtrace)
@@ -94,7 +113,7 @@ def device_prove(steps):
         t0 = time.time()
         assert engine.verify(all_coeffs, proof)
         t_verify = time.time() - t0
-    return t_prove, t_verify
+    return t_prove, t_verify, extras
 
 
 def fast_prove(steps):
@@ -126,7 +145,7 @@ def fast_prove(steps):
         t_verify = time.time() - t0
     print(f"# fast proof size {proof.size_bytes() / 1e6:.2f} MB"
           f" (batch {batch})", file=sys.stderr)
-    return t_prove, t_verify
+    return t_prove, t_verify, {"proof_bytes": proof.size_bytes()}
 
 
 def host_prove(steps):
@@ -165,9 +184,10 @@ def main():
     t_cold, _ = (prove_fn(steps)[0], None) if os.environ.get("BENCH_COLD_ONLY") != "1" else (None, None)
     # the tunnel's transfer/dispatch latency swings 2-3x between runs;
     # steady-state = best of two measured proves (standard for noisy hosts)
-    t_prove, t_verify = prove_fn(steps)
-    t_prove2, t_verify2 = prove_fn(steps)
-    t_prove = min(t_prove, t_prove2)
+    t_prove, t_verify, extras = prove_fn(steps)
+    t_prove2, t_verify2, extras2 = prove_fn(steps)
+    if t_prove2 < t_prove:
+        t_prove, extras = t_prove2, extras2
     if t_verify is not None and t_verify2 is not None:
         t_verify = min(t_verify, t_verify2)
     rows_per_s = steps / t_prove
@@ -177,7 +197,13 @@ def main():
     # N log N extrapolation of the single-core oracle to the benchmark size
     scale = (steps * math.log2(steps)) / (base_steps * math.log2(base_steps))
     t_host_extrapolated = t_host * scale
-    vs_baseline = t_host_extrapolated / t_prove
+    vs_host_oracle = t_host_extrapolated / t_prove
+    # The reference publishes no numbers and no Rust toolchain exists here;
+    # the honest baseline estimate divides the raw host-oracle ratio by the
+    # documented pure-Python-vs-single-core-Rust factor for this protocol
+    # (BASELINE.md "Calibration": CPython bigint Fp mul ~40x an ark-ff
+    # Montgomery mul; both provers are N log N in the same ops).
+    vs_baseline = vs_host_oracle / PY_VS_RUST_FACTOR
 
     # per-kernel roofline fractions (VERDICT r1 item 6: the BASELINE metric,
     # driver-visible alongside e2e rows/s). Skippable for tight budgets.
@@ -198,13 +224,17 @@ def main():
     tag = "fib" if model == "fibonacci" else model
     if os.environ.get("BENCH_MODE") in ("fast", "stir", "whir"):
         tag = os.environ["BENCH_MODE"] + "_" + tag
-    print(json.dumps({
+    out = {
         "metric": f"e2e_prove_rows_per_s_{tag}{steps}_" + os.environ.get("BENCH_FIELD", "goldilocks"),
         "value": round(rows_per_s, 1),
         "unit": "rows/s",
         "vs_baseline": round(vs_baseline, 2),
+        "vs_host_oracle": round(vs_host_oracle, 2),
+        "host_oracle_s": round(t_host, 2),
         "kernels": kernels,
-    }))
+    }
+    out.update(extras)
+    print(json.dumps(out))
     print(
         f"# prove {t_prove:.2f}s | verify {t_verify if t_verify is None else round(t_verify, 2)}s | "
         f"host-oracle {t_host:.2f}s @ {base_steps} rows -> {t_host_extrapolated:.1f}s extrapolated",
@@ -227,6 +257,35 @@ def _tunnel_alive(timeout_s: int = 90) -> bool:
         return proc.returncode == 0 and "ok" in proc.stdout
     except subprocess.TimeoutExpired:
         return False
+
+
+def _fast_entry(here: str, steps: str, budget: int = 900):
+    """One BENCH_MODE=fast e2e prove at the headline size in a bounded
+    subprocess; returns a kernels-dict entry (rows/s + proof bytes) or None
+    (the parity headline never depends on it)."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_INNER="1", BENCH_MODE="fast",
+               BENCH_STEPS=steps, BENCH_SKIP_KERNELS="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, here], env=env, timeout=budget,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# fast-mode e2e timed out after {budget}s; skipped",
+              file=sys.stderr)
+        return None
+    sys.stderr.write(proc.stderr)
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not json_lines:
+        print(f"# fast-mode e2e failed rc={proc.returncode}", file=sys.stderr)
+        return None
+    d = json.loads(json_lines[-1])
+    entry = {"value": d["value"], "unit": d["unit"]}
+    if "proof_bytes" in d:
+        entry["proof_bytes"] = d["proof_bytes"]
+    return entry
 
 
 def orchestrate():
@@ -263,7 +322,12 @@ def orchestrate():
         sys.stderr.write(proc.stderr)
         json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode == 0 and json_lines:
-            print(json_lines[-1])
+            data = json.loads(json_lines[-1])
+            if os.environ.get("BENCH_MODE") not in ("fast", "stir", "whir"):
+                fast = _fast_entry(here, steps)
+                if fast is not None:
+                    data.setdefault("kernels", {})["fast_e2e_prove"] = fast
+            print(json.dumps(data))
             return 0
         print(f"# bench attempt failed rc={proc.returncode}", file=sys.stderr)
     print(json.dumps({

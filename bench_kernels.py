@@ -64,7 +64,6 @@ def kernel_rooflines():
     from ministark_tpu.fields import GOLDILOCKS_FP, GOLDILOCKS_FP2
     from ministark_tpu.ops import gl
     from ministark_tpu.ops.ntt_device import get_ntt_fns
-    from ministark_tpu.ops.poly_device import fold_even_odd
     from ministark_tpu.ops.registry import get_kernels
 
     results = []
@@ -129,23 +128,33 @@ def kernel_rooflines():
             except Exception as e:  # Mosaic may reject until validated
                 print(f"# fused NTT 2^{logn} failed: {e}", file=sys.stderr)
 
-    # --- FRI fold (ext field) ---
+    # --- FRI fold+divide round: the engine's EXACT per-round executable
+    # (stark/engine._fold_div_fused: even/odd fold + DEEP subtract +
+    # suffix-scan division by (x - z), re-padded to the input length) —
+    # shape-preserving by construction, so it chains without any artificial
+    # re-concatenation. This is the cost the device engine pays per FRI
+    # round at the padded length (reference hot loop: fri.rs:96-101).
+    from ministark_tpu.stark.engine import _fold_div_fused
+
     ke = get_kernels(GOLDILOCKS_FP2)
+    ext = GOLDILOCKS_FP2
     m = 1 << 21
     coeffs = jnp.asarray(
         gl.pack(rng.integers(0, 1 << 62, size=(m, 2), dtype=np.uint64))
     )
-    alpha = jnp.asarray(ke.pack_scalar((12345, 67890)))
-    fold = jax.jit(fold_even_odd, static_argnums=0)
-
-    def fold_step(c):
-        half = fold(ke, c, alpha)
-        return jnp.concatenate([half, half], axis=0)  # keep shape chainable
-
-    t = _time_chained(fold_step, coeffs)
-    bytes_moved = m * 16 + (m // 2) * 16
+    z = ext.from_base_coeffs((12345, 67890))
+    alpha = ext.from_base_coeffs((99991, 31337))
+    dv = ext.from_base_coeffs((777, 4242))
+    zp = jnp.asarray(ke.pack_scalar(z))
+    ap = jnp.asarray(ke.pack_scalar(alpha))
+    dvp = jnp.asarray(ke.pack_scalar(dv))
+    zinv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(z), m // 2 - 1)))
+    t = _time_chained(lambda c: _fold_div_fused(ke, c, zp, ap, dvp, zinv),
+                      coeffs)
+    # speed-of-light: one read + one write of the padded (m, 2, 2) array
+    bytes_moved = m * 16 * 2
     results.append({
-        "metric": "fri_fold_2^21_fp2", "value": round(t * 1e3, 2),
+        "metric": "fri_fold_div_2^21_fp2", "value": round(t * 1e3, 2),
         "unit": "ms",
         "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
     })

@@ -46,7 +46,7 @@ Like fri/batched.py this is NOT a parity surface; the reference has no STIR.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import partial
 from typing import List
 
 import jax
@@ -224,6 +224,11 @@ def _quot_degcor_jit(ke, coeffs, ans, roots, scales, rcor_pows):
     return jax.lax.fori_loop(0, rcor_pows.shape[0], cor_body, zeros)
 
 
+# round-schedule cache keyed by every parameter _schedule reads; holds only
+# plain int tuples (never protocol instances or meshes)
+_SCHEDULE_CACHE: dict = {}
+
+
 # --------------------------------------------------------------- protocol
 class Stir:
     def __init__(self, config: StirConfig, mesh=None, mesh_axis: str = "shards"):
@@ -243,11 +248,19 @@ class Stir:
         self.kb = get_kernels(self.prime)
 
     # -------------------------------------------------------- schedule
-    @lru_cache(maxsize=None)
     def _schedule(self, n: int):
         """(d, N, off, t, R): degrees d_i, domain sizes N_i, coset offsets
-        off_i, per-function query counts t_i, for rounds i = 0..R."""
+        off_i, per-function query counts t_i, for rounds i = 0..R.
+
+        Cached module-level by the parameters it reads (an lru_cache on the
+        method would pin every Stir instance — and its captured mesh — for
+        process lifetime)."""
         cfg = self.cfg
+        key = (self.prime.p, self.prime.generator, cfg.k, cfg.blowup,
+               cfg.security_bits, cfg.grinding_bits, cfg.final_len, n)
+        cached = _SCHEDULE_CACHE.get(key)
+        if cached is not None:
+            return cached
         k = cfg.k
         p = self.prime.p
         g = self.prime.generator
@@ -273,6 +286,7 @@ class Stir:
             assert t[i - 1] + 1 < d[i], (
                 f"round {i}: |G|={t[i-1]+1} must stay below degree {d[i]}"
             )
+        _SCHEDULE_CACHE[key] = (d, N, off, t, R)
         return d, N, off, t, R
 
     def _transcript(self, b: int, n: int) -> FastTranscript:

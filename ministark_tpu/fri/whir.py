@@ -57,7 +57,7 @@ reference has no WHIR.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import partial
 from typing import List
 
 import jax
@@ -156,6 +156,11 @@ def _sumcheck_evals_jit(ke, cur, pts):
     return jax.vmap(one)(pts)
 
 
+# iteration-schedule cache keyed by every parameter _schedule reads; holds
+# only plain int tuples (never protocol instances or meshes)
+_SCHEDULE_CACHE: dict = {}
+
+
 # --------------------------------------------------------------- protocol
 class Whir:
     def __init__(self, config: WhirConfig, mesh=None, mesh_axis: str = "shards"):
@@ -175,13 +180,21 @@ class Whir:
         self.kb = get_kernels(self.prime)
 
     # -------------------------------------------------------- schedule
-    @lru_cache(maxsize=None)
     def _schedule(self, n: int):
         """(d, N, off, t, R): degrees d_i, domain sizes N_i, coset offsets
         off_i, per-function query counts t_i, for iterations i = 0..R.
         L_i is the SQUARED previous domain (off_i = off_{i-1}^2) — WHIR
-        needs no disjointness between rounds (no quotienting)."""
+        needs no disjointness between rounds (no quotienting).
+
+        Cached module-level by the parameters it reads (an lru_cache on the
+        method would pin every Whir instance — and its captured mesh — for
+        process lifetime)."""
         cfg = self.cfg
+        key = (self.prime.p, self.prime.generator, cfg.k, cfg.blowup,
+               cfg.security_bits, cfg.grinding_bits, cfg.final_len, n)
+        cached = _SCHEDULE_CACHE.get(key)
+        if cached is not None:
+            return cached
         k = cfg.k
         p = self.prime.p
         g = self.prime.generator
@@ -200,6 +213,7 @@ class Whir:
             rate_log = (N[i] // d[i]).bit_length() - 1
             t.append(min(max(1, -(-lam // rate_log)), N[i] // k))
         assert d[R] >= k and N[R] >= k
+        _SCHEDULE_CACHE[key] = (d, N, off, t, R)
         return d, N, off, t, R
 
     def _transcript(self, b: int, n: int) -> FastTranscript:

@@ -219,8 +219,9 @@ def fold_factor_planes(pc: PlanarCalc, pl, alpha_planes, F: int):
     return acc
 
 
-def powers_planes(pc: PlanarCalc, x_planes, m: int):
-    """(C,) scalar -> (C, m) = [1, x, ..., x^(m-1)] (exponent-bit ladder)."""
+def _powers_ladder(pc: PlanarCalc, x_planes, m: int):
+    """(C,) scalar -> (C, m) = [1, x, ..., x^(m-1)] (exponent-bit ladder:
+    log m fori iterations, each one mask-mul over the full (C, m) array)."""
     pw = pc.one_bc(jnp.zeros((pc.C, m), jnp.uint32))
     if m == 1:
         return pw
@@ -239,7 +240,29 @@ def powers_planes(pc: PlanarCalc, x_planes, m: int):
     return pw
 
 
-def suffix_sums_planes(pc: PlanarCalc, pl):
+def powers_planes(pc: PlanarCalc, x_planes, m: int):
+    """(C,) scalar -> (C, m) = [1, x, ..., x^(m-1)].
+
+    Hierarchical (outer-product) construction for large m: with
+    i = r*_ROW + l, x^i = (x^_ROW)^r * x^l, so the table is ONE full-size
+    multiply of two small ladder tables — log m full-array mul passes
+    (the Hillis-Steele ladder) collapse to one. Exact: field muls are
+    associative, so the grouping change is bit-identical."""
+    if m <= 2 * _ROW or m % _ROW:
+        return _powers_ladder(pc, x_planes, m)
+    rows = m // _ROW
+    lo = _powers_ladder(pc, x_planes, _ROW)               # (C, _ROW)
+    x_row = lo[..., -1:]                                  # x^(_ROW-1)
+    x_row = pc.mul(x_row, x_planes.reshape(pc.C, 1))      # x^_ROW, (C, 1)
+    hi = _powers_ladder(pc, x_row.reshape(pc.C), rows)    # (C, rows)
+    full = pc.mul(
+        jnp.broadcast_to(hi[..., :, None], (pc.C, rows, _ROW)),
+        jnp.broadcast_to(lo[..., None, :], (pc.C, rows, _ROW)),
+    )
+    return full.reshape(pc.C, m)
+
+
+def _suffix_hillis(pc: PlanarCalc, pl):
     """S_i = sum_{j >= i} pl[..., j] (Hillis-Steele on the lane axis)."""
     m = pl.shape[-1]
     if m == 1:
@@ -256,9 +279,47 @@ def suffix_sums_planes(pc: PlanarCalc, pl):
     return jax.lax.fori_loop(0, log_m, body, pl)
 
 
+def suffix_sums_planes(pc: PlanarCalc, pl):
+    """S_i = sum_{j >= i} pl[..., j].
+
+    Two-level for large m (i = r*_ROW + l): within-row suffix over the
+    _ROW-lane minor axis (log _ROW full passes), then a tiny suffix over
+    the (m/_ROW) row totals broadcast-added back — instead of log m full
+    passes. Exact: field adds are associative."""
+    m = pl.shape[-1]
+    if m <= 2 * _ROW or m % _ROW:
+        return _suffix_hillis(pc, pl)
+    rows = m // _ROW
+    w = pl.reshape(pl.shape[:-1] + (rows, _ROW))
+    sfx = _suffix_hillis(pc, w)                            # within rows
+    totals = sfx[..., :, 0]                                # (C, rows)
+    tails = _suffix_hillis(pc, totals)                     # (C, rows)
+    # tails_after[r] = sum of totals of rows > r
+    zero = jnp.zeros_like(tails[..., :1])
+    tails_after = jnp.concatenate([tails[..., 1:], zero], axis=-1)
+    out = pc.add(sfx, jnp.broadcast_to(tails_after[..., :, None], sfx.shape))
+    return out.reshape(pl.shape)
+
+
 def field_sum_planes(pc: PlanarCalc, pl):
-    """(C, m) -> (C,) total sum (suffix scan, take the head)."""
-    return suffix_sums_planes(pc, pl)[..., 0]
+    """(C, m) -> (C,) total sum.
+
+    Pairwise tree reduction (pad to a power of two with zeros, halve the
+    array each step): total element-adds ~2m vs the scan's m log m, and
+    every intermediate shrinks. Exact: adds are associative, zero is the
+    identity."""
+    m = pl.shape[-1]
+    if m == 1:
+        return pl[..., 0]
+    mp = 1 << (m - 1).bit_length()
+    if mp != m:
+        pad = jnp.zeros(pl.shape[:-1] + (mp - m,), dtype=pl.dtype)
+        pl = jnp.concatenate([pl, pad], axis=-1)
+    while mp > 1:
+        h = mp // 2
+        pl = pc.add(pl[..., :h], pl[..., h:])
+        mp = h
+    return pl[..., 0]
 
 
 _ob = jax.lax.optimization_barrier

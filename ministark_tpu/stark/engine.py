@@ -132,18 +132,27 @@ class DeviceEngine:
         self.ke = get_kernels(sf.extension)
         self._trace_on = bool(int(__import__("os").environ.get("MINISTARK_TRACE", "0")))
         self._t0 = None
+        # per-phase wall seconds of the latest prove(); always collected
+        # (a handful of time.time() calls), printed when MINISTARK_TRACE=1.
+        # bench.py aggregates this into the driver JSON's device_s field so
+        # tunnel/dispatch noise is separable from engine time.
+        self.phase_seconds: dict = {}
 
     def _t(self, label: str):
-        """Phase timing to stderr when MINISTARK_TRACE=1."""
-        if not self._trace_on:
-            return
-        import sys
+        """Close the previous phase, open ``label``; accumulate durations."""
         import time as _time
 
         now = _time.time()
         if self._t0 is not None:
-            print(f"[engine] {self._last_label}: {now - self._t0:.2f}s",
-                  file=sys.stderr, flush=True)
+            dt = now - self._t0
+            self.phase_seconds[self._last_label] = (
+                self.phase_seconds.get(self._last_label, 0.0) + dt
+            )
+            if self._trace_on:
+                import sys
+
+                print(f"[engine] {self._last_label}: {dt:.2f}s",
+                      file=sys.stderr, flush=True)
         self._t0 = now
         self._last_label = label
 
@@ -206,6 +215,8 @@ class DeviceEngine:
 
         n = trace.domain_size
 
+        self.phase_seconds = {}
+        self._t0 = None
         self._t("trace_commit")
         # 1.1 trace commitment (cols hold canonical values < p, fit in u64)
         if trace.cols_dev is not None:

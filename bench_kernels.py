@@ -105,16 +105,21 @@ def kernel_rooflines():
             x = jnp.asarray(gl.pack(
                 rng.integers(0, 1 << 62, size=(2, m), dtype=np.uint64)))
             old = os.environ.get("MINISTARK_MXU_FUSED")
-            os.environ["MINISTARK_MXU_FUSED"] = "1"
             try:
+                os.environ["MINISTARK_MXU_FUSED"] = "1"
                 fns = ntt_mxu.make_mxu_ntt_fns(GOLDILOCKS_FP, m)
+                # the reference MUST be the non-fused XLA lowering: with the
+                # auto default, get_ntt_fns would ALSO return the fused path
+                # on TPU and the bit-check below would compare it to itself
+                os.environ["MINISTARK_MXU_FUSED"] = "0"
+                ref_fns = ntt_mxu.make_mxu_ntt_fns(GOLDILOCKS_FP, m)
             finally:
                 if old is None:
                     os.environ.pop("MINISTARK_MXU_FUSED", None)
                 else:
                     os.environ["MINISTARK_MXU_FUSED"] = old
             try:
-                ref = get_ntt_fns(GOLDILOCKS_FP, m)[0]
+                ref = ref_fns[0]
                 assert np.array_equal(np.asarray(fns[0](x)),
                                       np.asarray(ref(x))), "fused NTT mismatch"
                 t = _time_chained(fns[0], x)

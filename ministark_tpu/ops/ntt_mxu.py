@@ -296,7 +296,14 @@ def _on_tpu() -> bool:
 
 
 def fused_supports(n: int) -> bool:
-    return supports(n) and n >= (1 << 14)
+    """Fused Pallas levels: every factor must be >= 2^6. Mosaic miscompiles
+    the F=32 level kernel on real v5e hardware (~7.6% wrong lanes at
+    n=2^17=[6,6,5], scripts/tpu_level_debug.py — levels with F=64/128 pass
+    bit-exact, interpret mode passes at every F), so factor-5 factorizations
+    take the XLA _mxu_core path instead. Among supported sizes only 2^17
+    carries a factor 5 (factorize: ceil(L/8) factors, balanced)."""
+    f = factorize(n)
+    return f is not None and n >= (1 << 14) and min(f) >= 6
 
 
 def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, has_tw, scalar_np,

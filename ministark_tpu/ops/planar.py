@@ -213,9 +213,18 @@ def fold_factor_planes(pc: PlanarCalc, pl, alpha_planes, F: int):
     acc = parts[0]
     a_pow = alpha_planes
     for j in range(1, F):
-        acc = pc.add(acc, pc.mul(parts[j], pc.bc(a_pow, parts[j])))
+        # fence each step: unfenced chained fused field muls re-execute the
+        # producer expression at every use — XLA:CPU's optimizer hangs for
+        # MINUTES compiling the F=8 chain at n >= PLANAR_MIN without these
+        # (hit in round 3 as a wedged fold8/arity8 fast prove). Barriers
+        # change scheduling only; values are bit-identical.
+        acc = jax.lax.optimization_barrier(
+            pc.add(acc, pc.mul(parts[j], pc.bc(a_pow, parts[j])))
+        )
         if j + 1 < F:
-            a_pow = pc.mul(a_pow.reshape(pc.C, 1), alpha_planes.reshape(pc.C, 1)).reshape(pc.C)
+            a_pow = jax.lax.optimization_barrier(
+                pc.mul(a_pow.reshape(pc.C, 1), alpha_planes.reshape(pc.C, 1))
+            ).reshape(pc.C)
     return acc
 
 

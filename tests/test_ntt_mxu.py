@@ -37,6 +37,17 @@ def test_supports_and_factorize():
     assert all(sum(factorize(1 << L)) == L for L in range(5, 27))
 
 
+def test_fused_supports_excludes_factor5():
+    """Mosaic miscompiles the F=32 fused level on real v5e (see
+    fused_supports docstring); 2^17 = [6,6,5] must take the XLA path."""
+    from ministark_tpu.ops.ntt_mxu import fused_supports
+
+    assert fused_supports(1 << 14) and fused_supports(1 << 18)
+    assert fused_supports(1 << 20) and fused_supports(1 << 21)
+    assert not fused_supports(1 << 17)
+    assert not fused_supports(1 << 13)  # below the size floor
+
+
 @pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
                                         (BABYBEAR_FP, _rand_bb)])
 @pytest.mark.parametrize("n", [1 << 5, 1 << 9, 1 << 13, 1 << 15])
@@ -70,16 +81,18 @@ def test_extreme_values_gl():
 
 @pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
                                         (BABYBEAR_FP, _rand_bb)])
-@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 17])
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 18])
 def test_fused_pallas_matches_device_ntt(field, rand, n, monkeypatch):
     """MINISTARK_MXU_FUSED=1: the fused Pallas level kernels (digitize +
     int8 dot + recombine + twiddle in one VMEM pass) run in interpret mode
     on CPU — identical integer semantics to the XLA lowering.
 
-    1<<17 is the smallest 3-level factorization: its level-1 twiddle has
-    K_prod > 1 and exercises the pre-expanded (R, F) twiddle planes
-    (round-2 hardware regression: raw (M, F) planes + an (rt, F) BlockSpec
-    read past row M at every 3-level size, 2^20/2^21 included)."""
+    1<<18 is the smallest fused-eligible 3-level factorization ([6,6,6];
+    2^17 = [6,6,5] is excluded — Mosaic miscompiles the F=32 level on real
+    hardware, see fused_supports): its level-1 twiddle has K_prod > 1 and
+    exercises the pre-expanded (R, F) twiddle planes (round-2 hardware
+    regression: raw (M, F) planes + an (rt, F) BlockSpec read past row M
+    at every 3-level size, 2^20/2^21 included)."""
     monkeypatch.setenv("MINISTARK_MXU_FUSED", "1")
     x = rand(2, n, seed=11)
     ref_fns = make_ntt_fns(field, n)

@@ -37,6 +37,32 @@ def test_planar_fold_matches_host(sf, n):
 
 
 @pytest.mark.parametrize("sf", [Goldilocks, BabyBear])
+@pytest.mark.parametrize("F", [4, 8])
+def test_planar_fold_factor_matches_host(sf, F):
+    """F-way fold ABOVE PLANAR_MIN (n=4096): the planar fold_factor path.
+    Round-3 regression: the F=8 chain compiled without fences wedged
+    XLA:CPU for >10 minutes (ops/planar.py fold_factor_planes)."""
+    import jax.numpy as jnp
+
+    ext = sf.extension
+    ke = get_kernels(ext)
+    n = 4096
+    vals, packed = _rand_packed(ext, n)
+    alpha = ext.rand(ark_test_rng())
+    out = pd.fold_factor(ke, jnp.asarray(packed),
+                         jnp.asarray(ke.pack_scalar(alpha)), F)
+    got = ke.unpack(np.asarray(out))
+    a_pows = [ext.pow(alpha, j) for j in range(F)]
+    want = []
+    for i in range(n // F):
+        acc = ext.zero()
+        for j in range(F):
+            acc = ext.add(acc, ext.mul(a_pows[j], vals[F * i + j]))
+        want.append(acc)
+    assert got == want
+
+
+@pytest.mark.parametrize("sf", [Goldilocks, BabyBear])
 @pytest.mark.parametrize("n", [65, 4096])
 def test_planar_synth_div_matches_host(sf, n):
     import jax.numpy as jnp

@@ -136,7 +136,35 @@ def mimc_device_trace(stark_field, steps: int, s0: int = 3) -> DeviceTrace:
     def link(tp):
         return kb.sub(kb.scale_base(tp[1], jnp.asarray(omega_p)), tp[0])
 
+    # Inline (nested-jit-safe) variants for the compile-check core
+    # (stark/core.py): the get_ntt_fns closures above capture device-resident
+    # twiddle tables, which an enclosing jit would materialize host-side
+    # (CLAUDE.md nested-jit note) — inline _ntt_fori with NUMPY tables instead.
+    from ..ops.ntt_device import (
+        _bitrev_indices,
+        _field_ops,
+        _ntt_fori,
+        _root_powers_table,
+    )
+
+    ops = _field_ops(base)
+    _root = base.get_root_of_unity(n)
+    _rev_n = np.asarray(_bitrev_indices(n))
+    _tw = np.asarray(ops.pack(list(_root_powers_table(p, _root, max(n // 2, 1)))))
+    _tw_inv = np.asarray(
+        ops.pack(list(_root_powers_table(p, base.inv(_root), max(n // 2, 1))))
+    )
+    _n_inv = np.asarray(ops.pack([base.inv(base.from_int(n))])[0])
+
+    def cubic_inline(tp):
+        evs = _ntt_fori(ops, tp[:2], _rev_n, _tw, n)
+        t = kb.add(evs[0], jnp.asarray(k_packed))
+        c = kb.sub(kb.mul(kb.mul(t, t), t), evs[1])
+        y = _ntt_fori(ops, c[None], _rev_n, _tw_inv, n)
+        return ops.mul(y, _n_inv[None, None])[0]
+
     return DeviceTrace(
         stark_field=stark_field, steps=steps, cols=cols,
         transitions=[cubic, link],
+        transitions_inline=[cubic_inline, link],
     )

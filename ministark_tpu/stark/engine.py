@@ -68,6 +68,11 @@ class DeviceTrace:
     (fully on-device witness generation — never touches the host).
     ``transitions`` map the packed trace-poly coefficient array
     (width, N, *elem) to one packed (N, *elem) constraint coefficient array.
+    ``transitions_inline`` (optional): the same maps written to be safe to
+    call from INSIDE an enclosing jit (no closures over device-resident NTT
+    tables — see stark/core.py and the CLAUDE.md nested-jit note); models
+    whose ``transitions`` only use elementwise kernel ops may leave this
+    None and the compile-check core falls back to ``transitions``.
     """
 
     stark_field: object
@@ -75,6 +80,7 @@ class DeviceTrace:
     cols: "np.ndarray | None"
     transitions: List[Callable]
     cols_dev: object = None
+    transitions_inline: "List[Callable] | None" = None
 
     @property
     def width(self) -> int:

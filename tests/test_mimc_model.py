@@ -77,6 +77,36 @@ def test_mimc_device_matches_host_babybear():
     assert dev_proof.arthur == host_proof.arthur
 
 
+def test_mimc_generic_core():
+    """The compile-check prover core (stark/core.py) builds from ANY
+    DeviceTrace; MiMC's inline transitions must be bit-identical to the
+    engine-path closures and the core must compile with them nested in."""
+    import jax
+    import jax.numpy as jnp
+
+    from ministark_tpu.ops.ntt_device import get_ntt_fns
+    from ministark_tpu.ops.registry import get_kernels
+    from ministark_tpu.stark.core import make_prove_core
+
+    sf = Goldilocks
+    base = sf.base
+    kb = get_kernels(base)
+    t = mimc_device_trace(sf, 63)
+    n = t.domain_size
+    cols = jnp.asarray(kb.pack(t.cols.reshape(-1)).reshape((2, n) + kb.elem_axes))
+    _, ifft, _, _ = get_ntt_fns(base, n)
+    tp = ifft(cols)
+    for f_eng, f_inl in zip(t.transitions, t.transitions_inline):
+        a = np.asarray(f_eng(tp))
+        b = np.asarray(jax.jit(f_inl)(tp))
+        assert np.array_equal(a, b)
+
+    core, example_args = make_prove_core(sf, n, trace_builder=mimc_device_trace)
+    lde, mixed, folded = core(*example_args())
+    assert lde.shape[:2] == (4, 2 * n)
+    assert mixed.shape[0] == n and folded.shape[0] == n // 2
+
+
 def test_mimc_fast_mode():
     sf = Goldilocks
     steps = 100

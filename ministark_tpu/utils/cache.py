@@ -30,6 +30,12 @@ def _cpu_fingerprint() -> str:
                     bits.append(line.strip())
     except OSError:
         bits.append(platform.processor())
+    # NOTE the cpu_aot_loader "+prefer-no-scatter/+prefer-no-gather is not
+    # supported on the host machine" errors are BENIGN NOISE on every AOT
+    # load on this host class (reproduced with a same-process-flavor write
+    # and reload): the compiler records tuning *preferences* in the target
+    # feature list while the runtime host-feature list never contains them.
+    # They are not the cross-host mismatch this fingerprint guards against.
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 

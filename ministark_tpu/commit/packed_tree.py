@@ -84,8 +84,10 @@ def unpack_scalar(field, row: np.ndarray):
     return field.from_base_coeffs(tuple(int(x) for x in row))
 
 
-def _first_match_device_batch(comps, value_rows):
-    """First indices where (n, comps, 2) == each of (q, comps, 2); n if absent."""
+def _first_match_find(comps, value_rows):
+    """Jitted first-match search: (q,) indices where (n, comps, 2) == each
+    of (q, comps, 2); n where absent. Dispatches asynchronously — callers
+    may defer the pull (engine FRI query pipelining)."""
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +100,12 @@ def _first_match_device_batch(comps, value_rows):
         idx = jnp.arange(n)[None, :]
         return jnp.min(jnp.where(hits, idx, n), axis=1)
 
-    return [int(i) for i in np.asarray(find(comps, value_rows))]
+    return find(comps, value_rows)
+
+
+def _first_match_device_batch(comps, value_rows):
+    """First indices where (n, comps, 2) == each of (q, comps, 2); n if absent."""
+    return [int(i) for i in np.asarray(_first_match_find(comps, value_rows))]
 
 
 class PackedMerkleTree:
@@ -265,15 +272,30 @@ class PackedMerkleTree:
             return self.n_leafs + index // self.config.leafs_per_node
         return index + (self.get_node_number() - index + 1) // self.config.inner_children
 
-    def generate_proofs_packed(self, packed_values: np.ndarray) -> List[MerklePath]:
-        """Batched proof generation: ONE device search, ONE node fetch and
-        ONE neighbour fetch for the whole batch (device round-trips are the
-        scarce resource on tunneled hardware)."""
-        idxs = self._leaf_indices(np.asarray(packed_values, dtype=np.uint64))
+    # --- staged proof generation (engine FRI query pipelining) ---------
+    #
+    # The engine overlaps every round's value search, gather and
+    # device->host copy: search_rows_async in its dispatch pass,
+    # proofs_gather_async once the indices arrive, proofs_finish last.
+    # generate_proofs_packed composes the same stages synchronously.
+
+    def search_rows_async(self, rows_dev):
+        """Dispatch the §8.6 first-occurrence value search for device rows
+        already in this tree's leaf component format ((q, C, 2) u32 — e.g.
+        rows gathered from the committed codeword itself). Returns the
+        un-pulled (q,) device index array with its host copy streaming."""
+        assert self._dev_comps is not None, "device-resident trees only"
+        out = _first_match_find(self._dev_comps, rows_dev)
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
+
+    def _sibling_groups(self, idxs: List[int]):
         k = self.config.leafs_per_node
         c = self.config.inner_children
         n_nodes = self.get_node_number() - self.n_leafs
-
         all_groups: List[List[List[int]]] = []
         for i in idxs:
             groups: List[List[int]] = []
@@ -285,35 +307,68 @@ class PackedMerkleTree:
                 groups.append(list(range(s, min(s + c, n_nodes))))
                 current = self._parent_idx(current)
             all_groups.append(groups)
+        return all_groups
 
+    def proofs_gather_async(self, idxs: List[int]):
+        """Host leaf indices -> dispatch the digest + leaf-group gathers
+        (device-resident trees) and start their host copies; returns an
+        opaque handle for proofs_finish."""
+        import jax.numpy as jnp
+
+        assert self._dev_digests is not None
+        k = self.config.leafs_per_node
+        all_groups = self._sibling_groups(idxs)
         flat = [g for groups in all_groups for grp in groups for g in grp]
         neigh_starts = [i - i % k for i in idxs]
+        didx = jnp.asarray(np.asarray(flat, dtype=np.int64))
+        lidx = jnp.asarray(np.asarray(
+            [s + j for s in neigh_starts for j in range(k)], dtype=np.int64
+        ))
+        dig_rows = self._dev_digests[didx]
+        leaf_rows = self._dev_comps[lidx]
+        for h in (dig_rows, leaf_rows):
+            try:
+                h.copy_to_host_async()
+            except AttributeError:
+                pass
+        return (all_groups, len(flat), k, dig_rows, leaf_rows)
+
+    def proofs_finish(self, handle) -> List[MerklePath]:
+        from ..ops.sha256 import digests_to_bytes
+
+        all_groups, n_flat, k, dig_rows, leaf_rows = handle
+        b = digests_to_bytes(np.asarray(dig_rows))
+        fetched = [b[i].tobytes() for i in range(n_flat)]
+        rows_u64 = comps_np_to_u64(np.asarray(leaf_rows))
+        all_neigh = [
+            [unpack_scalar(self.field, rows_u64[qi * k + j]) for j in range(k)]
+            for qi in range(len(all_groups))
+        ]
+        proofs = []
+        pos = 0
+        for qi, groups in enumerate(all_groups):
+            path: List[List[bytes]] = []
+            for grp in groups:
+                path.append(fetched[pos : pos + len(grp)])
+                pos += len(grp)
+            proofs.append(MerklePath(leaf_neighbours=all_neigh[qi], path=path))
+        return proofs
+
+    def generate_proofs_packed(self, packed_values: np.ndarray) -> List[MerklePath]:
+        """Batched proof generation: ONE device search, ONE node fetch and
+        ONE neighbour fetch for the whole batch (device round-trips are the
+        scarce resource on tunneled hardware)."""
+        idxs = self._leaf_indices(np.asarray(packed_values, dtype=np.uint64))
 
         if self._nodes is None and self._packed is None:
-            # both fetches live on device: dispatch the two gathers together
-            # and pull them in one device_get (one tunnel sync, not two)
-            import jax
-            import jax.numpy as jnp
+            return self.proofs_finish(self.proofs_gather_async(idxs))
 
-            from ..ops.sha256 import digests_to_bytes
-
-            didx = jnp.asarray(np.asarray(flat, dtype=np.int64))
-            lidx = jnp.asarray(np.asarray(
-                [s + j for s in neigh_starts for j in range(k)], dtype=np.int64
-            ))
-            dig_rows, leaf_rows = jax.device_get(
-                (self._dev_digests[didx], self._dev_comps[lidx])
-            )
-            b = digests_to_bytes(dig_rows)
-            fetched = [b[i].tobytes() for i in range(len(flat))]
-            rows_u64 = comps_np_to_u64(leaf_rows)
-            all_neigh = [
-                [unpack_scalar(self.field, rows_u64[qi * k + j]) for j in range(k)]
-                for qi in range(len(neigh_starts))
-            ]
-        else:
-            fetched = self._node_bytes(flat) if flat else []
-            all_neigh = self._leaf_rows_batch(neigh_starts, k)
+        k = self.config.leafs_per_node
+        all_groups = self._sibling_groups(idxs)
+        flat = [g for groups in all_groups for grp in groups for g in grp]
+        neigh_starts = [i - i % k for i in idxs]
+        fetched = self._node_bytes(flat) if flat else []
+        all_neigh = self._leaf_rows_batch(neigh_starts, k)
 
         proofs = []
         pos = 0

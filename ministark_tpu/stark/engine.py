@@ -396,11 +396,14 @@ class DeviceEngine:
         betas = [int.from_bytes(raw[i * 8 : (i + 1) * 8], "little")
                  for i in range(cfg.queries)]
 
-        # pass 1: issue every device round's codeword gather AND quotient
-        # computation without blocking — the interpolating lines a*x + b are
-        # derived on device from the gathered reads, so nothing here waits
-        # for a device->host pull; all the copies then stream concurrently
-        # (each blocking pull costs a full tunnel round trip).
+        # pass 1: issue every device round's codeword gather, quotient
+        # computation AND Merkle value search without blocking — the
+        # interpolating lines a*x + b are derived on device from the
+        # gathered reads, and the proof search consumes the gathered rows
+        # directly (identical values to the host path, §8.6 first-occurrence
+        # semantics preserved); nothing here waits for a device->host pull,
+        # so all the copies stream concurrently (each blocking pull costs a
+        # full tunnel round trip).
         metas = []
         for i in range(len(rounds) - 1):
             self._t(f"fri_query_round_{i}")
@@ -425,21 +428,39 @@ class DeviceEngine:
                 i2 = jnp.asarray(np.asarray(idxs_next, dtype=np.int64))
                 reads = _gather_two_jit(prev.codeword, nxt.codeword, i1, i2)
                 qs, effs = self._quotients_from_reads(prev, reads, xs)
-                for h in (reads, effs):
+                sidx = None
+                if prev.tree._dev_comps is not None:
+                    nq = len(red_betas)
+                    rows = _proof_rows_jit(ext, reads, nq)
+                    sidx = prev.tree.search_rows_async(rows)
+                for h in (reads, effs, qs):
                     try:
                         h.copy_to_host_async()
                     except AttributeError:
                         pass
-                metas.append((i, red_betas, xs, None, None, reads, qs, effs))
+                metas.append((i, red_betas, xs, None, None, reads, qs, effs,
+                              sidx))
             else:
                 metas.append((i, red_betas, xs, idxs_prev, idxs_next,
-                              None, None, None))
+                              None, None, None, None))
 
-        # pass 2: materialize the (already streaming) reads, build the
-        # points and Merkle proofs, trim + stream each round's quotients
+        # pass 2a: the (already streaming) search indices arrive; dispatch
+        # every round's digest + leaf-group gathers so THEIR copies stream
+        # together while the quotient payloads are still in flight
+        handles = {}
+        for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
+             effs, sidx) in metas:
+            if sidx is not None:
+                tree = rounds[i].tree
+                sidxs = [int(v) for v in np.asarray(sidx)]
+                assert all(ix < tree.n_leafs for ix in sidxs)
+                handles[i] = tree.proofs_gather_async(sidxs)
+
+        # pass 2b: materialize reads, build the points and Merkle proofs,
+        # slice each round's (already streaming) quotients
         points, queries, quotients = [], [], []
         for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
-             effs) in metas:
+             effs, sidx) in metas:
             prev, nxt = rounds[i], rounds[i + 1]
             nq = len(red_betas)
             if reads is not None:
@@ -472,8 +493,11 @@ class DeviceEngine:
                     b = ext.sub(y1, ext.mul(a, x1))
                     round_quotients.append(self._query_quotient(prev, a, b, x1, x2))
 
-            # one batched search + node/neighbour fetch for the whole round
-            proofs = prev.tree.generate_proofs(proof_values)
+            if i in handles:
+                proofs = prev.tree.proofs_finish(handles[i])
+            else:
+                # one batched search + node/neighbour fetch for the round
+                proofs = prev.tree.generate_proofs(proof_values)
             round_queries = [
                 [proofs[2 * qi], proofs[2 * qi + 1]] for qi in range(nq)
             ]
@@ -607,21 +631,16 @@ class DeviceEngine:
         )
 
     def _trim_quotients(self, qs, effs, nq: int):
-        """Trim the padded quotient batch to its longest effective length
-        and start the device->host copy; returns a DEFERRED (zero-arg
-        callable) so the multi-MB transfer streams while the remaining
-        rounds' Merkle-proof searches proceed (VERDICT r1 item 7)."""
+        """Returns a DEFERRED (zero-arg callable) slicing each query's
+        quotient to its effective length from the full padded batch, whose
+        device->host copy was already started in the dispatch pass (the
+        quotient IS all but the last ~2 rows of the padded array, so
+        copying it whole costs the same bytes and starts rounds earlier)."""
         effs = [int(e) for e in np.asarray(effs)]   # already streamed async
-        m = max(effs + [0])
-        trimmed = qs[:, :m]
-        try:
-            trimmed.copy_to_host_async()
-        except AttributeError:  # older jax.Array without the method
-            pass
 
         def materialize():
-            arr = np.asarray(trimmed)
-            return [arr[qi, : effs[qi]] for qi in range(nq)]
+            arr = np.asarray(qs)                    # copy already streaming
+            return [arr[qi, : effs[qi]].copy() for qi in range(nq)]
 
         return materialize
 
@@ -773,6 +792,18 @@ def _read_two_codewords(ke, prev, nxt, idxs_prev, idxs_next):
 @jax.jit
 def _gather_two_jit(a, b, i1, i2):
     return jnp.concatenate([a[i1], b[i2]], axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _proof_rows_jit(ext, reads, nq: int):
+    """Interleave the gathered y1/y2 codeword rows into the proof-search
+    order [y1_0, y2_0, y1_1, y2_1, ...] and the tree's leaf component
+    format — the same values the host path would search by (§8.6)."""
+    from ..commit.packed_tree import to_leaf_comps
+
+    y = jnp.stack([reads[:nq], reads[nq:2 * nq]], axis=1)
+    rows = y.reshape((2 * nq,) + tuple(reads.shape[1:]))
+    return to_leaf_comps(ext, rows)
 
 
 @dataclass

@@ -259,27 +259,28 @@ def _tunnel_alive(timeout_s: int = 90) -> bool:
         return False
 
 
-def _fast_entry(here: str, steps: str, budget: int = 900):
-    """One BENCH_MODE=fast e2e prove at the headline size in a bounded
-    subprocess; returns a kernels-dict entry (rows/s + proof bytes) or None
-    (the parity headline never depends on it)."""
+def _sub_entry(here: str, steps: str, budget: int = 900, label: str = "",
+               **extra_env):
+    """One bounded-subprocess e2e prove with env overrides; returns a
+    kernels-dict entry (rows/s + proof bytes) or None (the parity headline
+    never depends on these side measurements)."""
     import subprocess
 
-    env = dict(os.environ, BENCH_INNER="1", BENCH_MODE="fast",
-               BENCH_STEPS=steps, BENCH_SKIP_KERNELS="1")
+    env = dict(os.environ, BENCH_INNER="1", BENCH_STEPS=steps,
+               BENCH_SKIP_KERNELS="1", **extra_env)
     try:
         proc = subprocess.run(
             [sys.executable, here], env=env, timeout=budget,
             capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
-        print(f"# fast-mode e2e timed out after {budget}s; skipped",
+        print(f"# {label} e2e timed out after {budget}s; skipped",
               file=sys.stderr)
         return None
     sys.stderr.write(proc.stderr)
     json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not json_lines:
-        print(f"# fast-mode e2e failed rc={proc.returncode}", file=sys.stderr)
+        print(f"# {label} e2e failed rc={proc.returncode}", file=sys.stderr)
         return None
     d = json.loads(json_lines[-1])
     entry = {"value": d["value"], "unit": d["unit"]}
@@ -324,9 +325,18 @@ def orchestrate():
         if proc.returncode == 0 and json_lines:
             data = json.loads(json_lines[-1])
             if os.environ.get("BENCH_MODE") not in ("fast", "stir", "whir"):
-                fast = _fast_entry(here, steps)
-                if fast is not None:
-                    data.setdefault("kernels", {})["fast_e2e_prove"] = fast
+                for mode in ("fast", "stir"):
+                    e = _sub_entry(here, steps, label=mode, BENCH_MODE=mode)
+                    if e is not None:
+                        data.setdefault("kernels", {})[
+                            f"{mode}_e2e_prove"] = e
+                # second field: BabyBear(+Fp4) parity prove at 2^18 rows
+                if os.environ.get("BENCH_FIELD", "goldilocks") == "goldilocks":
+                    e = _sub_entry(here, str((1 << 18) - 1), budget=1500,
+                                   label="babybear", BENCH_FIELD="babybear")
+                    if e is not None:
+                        data.setdefault("kernels", {})[
+                            "babybear_e2e_prove_2^18"] = e
             print(json.dumps(data))
             return 0
         print(f"# bench attempt failed rc={proc.returncode}", file=sys.stderr)

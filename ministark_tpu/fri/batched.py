@@ -282,8 +282,22 @@ class BatchedFri:
                 _rows_to_comps_jit(self._limbed(), rows), self.cfg.arity,
                 mesh=self.mesh, mesh_axis=self.mesh_axis,
             )
-        # single device: comps conversion + whole tree in ONE executable
-        comps, digests = _rows_tree_jit(self._limbed(), self.cfg.arity, rows)
+        # single device: comps conversion + whole tree in ONE executable.
+        # NOTE the fused tree executable is exempted from the PERSISTENT
+        # compile cache on CPU: XLA:CPU's AOT executable.serialize() /
+        # deserialize_executable segfault on exactly this executable once
+        # the process holds many live executables (three full-suite crashes
+        # in round 3, all at this call through stir.commit; the same entry
+        # round-trips fine in a fresh process). Recompiling it costs ~0.2 s
+        # per shape on CPU; TPU executables (de)serialize fine.
+        if jax.default_backend() == "cpu":
+            from jax._src import config as _jax_config
+
+            with _jax_config.enable_compilation_cache(False):
+                comps, digests = _rows_tree_jit(
+                    self._limbed(), self.cfg.arity, rows)
+        else:
+            comps, digests = _rows_tree_jit(self._limbed(), self.cfg.arity, rows)
         return IndexMerkleTree(comps, self.cfg.arity, digests=digests)
 
     def _transcript(self, b: int, n: int) -> FastTranscript:

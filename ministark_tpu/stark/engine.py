@@ -433,7 +433,10 @@ class DeviceEngine:
                     nq = len(red_betas)
                     rows = _proof_rows_jit(ext, reads, nq)
                     sidx = prev.tree.search_rows_async(rows)
-                for h in (reads, effs, qs):
+                # copy only the SMALL latency-critical results here; the
+                # bulk quotient payloads start in pass 2b so they never
+                # queue ahead of the index/read pulls on the (FIFO) link
+                for h in (reads, effs):
                     try:
                         h.copy_to_host_async()
                     except AttributeError:
@@ -447,6 +450,7 @@ class DeviceEngine:
         # pass 2a: the (already streaming) search indices arrive; dispatch
         # every round's digest + leaf-group gathers so THEIR copies stream
         # together while the quotient payloads are still in flight
+        self._t("fri_query_materialize")
         handles = {}
         for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
              effs, sidx) in metas:
@@ -456,8 +460,17 @@ class DeviceEngine:
                 assert all(ix < tree.n_leafs for ix in sidxs)
                 handles[i] = tree.proofs_gather_async(sidxs)
 
-        # pass 2b: materialize reads, build the points and Merkle proofs,
-        # slice each round's (already streaming) quotients
+        # pass 2b: the small transfers are all queued — NOW start the bulk
+        # quotient payload copies; they stream while the proofs assemble
+        for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
+             effs, sidx) in metas:
+            if qs is not None:
+                try:
+                    qs.copy_to_host_async()
+                except AttributeError:
+                    pass
+        # materialize reads, build the points and Merkle proofs, slice each
+        # round's (already streaming) quotients
         points, queries, quotients = [], [], []
         for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
              effs, sidx) in metas:

@@ -25,3 +25,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ministark_tpu.utils.cache import setup_jax_cache  # noqa: E402
 
 setup_jax_cache()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Release compiled executables after every test module.
+
+    A long-lived process accumulating the full suite's executables
+    eventually SEGFAULTS XLA:CPU — three round-3 full-suite crashes, all
+    ~200 tests in (always around tests/test_stir.py), each at a different
+    spot of the executable machinery (serialize, deserialize, plain
+    backend_compile), while every crashing test passes in a fresh process.
+    Clearing between modules bounds the live set; the persistent compile
+    cache makes the cross-module recompiles cheap loads."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -23,7 +23,8 @@ def _rand_polys(ext, b, n, seed=0):
 
 @pytest.mark.parametrize("sf,arity,ff", [
     (Goldilocks, 2, 2), (Goldilocks, 4, 4), (Goldilocks, 8, 4),
-    (Goldilocks, 4, 8), (BabyBear, 4, 4),
+    pytest.param(Goldilocks, 4, 8, marks=pytest.mark.slow),
+    (BabyBear, 4, 4),
 ])
 def test_batched_fri_roundtrip(sf, arity, ff):
     ext = sf.extension

@@ -53,11 +53,9 @@ def test_counter_on_device_witness_matches():
         assert np.array_equal(np.asarray(dev.cols_dev), packed_host)
 
 
-@pytest.mark.skipif(
-    __import__("os").environ.get("MINISTARK_SLOW_TESTS") != "1",
-    reason="~5 min on the CPU backend; run with MINISTARK_SLOW_TESTS=1 "
-           "(VERDICT r1 item 9: second AIR engine/host equivalence at 2^16)")
+@pytest.mark.slow
 def test_counter_device_matches_host_2e16():
+    # ~5 min on the CPU backend (second AIR engine/host equivalence at 2^16)
     sf = Goldilocks
     steps = (1 << 16) - 1
     claim = CounterClaim(field=sf.base, steps=steps)

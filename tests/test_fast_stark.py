@@ -101,6 +101,7 @@ def test_fast_stark_rejects_tampered_evals_and_rows():
         stark.verify(cons, bad)
 
 
+@pytest.mark.slow
 def test_fast_proof_serialization_roundtrip():
     from ministark_tpu.stark.proof_io import (
         fast_proof_from_bytes,
@@ -122,6 +123,7 @@ def test_fast_proof_serialization_roundtrip():
             assert len(blob) <= proof.size_bytes() * 1.2 + 64  # framing bound
 
 
+@pytest.mark.slow
 def test_fast_stark_sharded_byte_identical():
     """FastStark over an 8-device mesh produces byte-identical proofs to the
     single-device path (BASELINE config 5 analogue for the fast stack)."""
@@ -141,6 +143,7 @@ def test_fast_stark_sharded_byte_identical():
     assert fast_proof_to_bytes(sf, sharded) == fast_proof_to_bytes(sf, single)
 
 
+@pytest.mark.slow
 def test_fast_proof_random_tamper_sweep():
     """Any single-byte corruption of a serialized fast proof must be
     rejected (decode error or verification failure) — never accepted."""

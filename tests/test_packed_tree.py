@@ -69,6 +69,42 @@ def test_packed_first_occurrence_semantics():
     assert proof.leaf_neighbours == [5, 6]
 
 
+def test_staged_proofs_match_generate_proofs(monkeypatch):
+    """The engine's pipelined path (search_rows_async + proofs_gather_async
+    + proofs_finish on device-gathered rows) must yield the same MerklePaths
+    as the synchronous generate_proofs, including §8.6 first-occurrence
+    semantics on duplicate values."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("MINISTARK_DEVICE_HASH", "1")
+    field = GOLDILOCKS_FP2
+    n = 16
+    scalars = _scalars(field, n)
+    scalars[5] = scalars[2]  # duplicate -> both resolve to index 2
+    from ministark_tpu.ops.registry import get_kernels
+
+    ke = get_kernels(field)
+    codeword = jnp.asarray(
+        np.asarray(ke.pack(scalars)).reshape((n,) + ke.elem_axes)
+    )
+    cfg = MerkleTreeConfig(2, 2)
+    tree = PackedMerkleTree(field, None, cfg, device_vals=codeword)
+    assert tree._dev_comps is not None
+
+    idx = np.asarray([2, 5, 7, 0], dtype=np.int64)
+    rows_dev = codeword[jnp.asarray(idx)]
+    from ministark_tpu.commit.packed_tree import to_leaf_comps
+
+    sidx = tree.search_rows_async(to_leaf_comps(field, rows_dev))
+    sidxs = [int(v) for v in np.asarray(sidx)]
+    assert sidxs == [2, 2, 7, 0]  # duplicate hits first occurrence
+    staged = tree.proofs_finish(tree.proofs_gather_async(sidxs))
+    sync = tree.generate_proofs([scalars[i] for i in idx])
+    for a, b in zip(staged, sync):
+        assert a.leaf_neighbours == b.leaf_neighbours
+        assert a.path == b.path
+
+
 def test_pack_scalars_layouts():
     assert pack_scalars(GOLDILOCKS_FP, [7]).tolist() == [[7]]
     assert pack_scalars(GOLDILOCKS_FP2, [(1, 2)]).tolist() == [[1, 2]]

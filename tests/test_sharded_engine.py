@@ -34,6 +34,10 @@ def _prove(sf, steps, mesh=None):
     return DeviceEngine(cfg, mesh=mesh).prove(dtrace)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_sharded_prove_byte_equal_16k_rows():
     """2^14-row trace: sharded NTT/LDE + distributed FRI fold/divide/deep
     over 8 devices vs the single-chip engine — every proof byte equal."""
@@ -44,6 +48,7 @@ def test_sharded_prove_byte_equal_16k_rows():
     _assert_equal_proofs_device(single, sharded)
 
 
+@pytest.mark.slow
 def test_sharded_prove_byte_equal_device_hash(monkeypatch):
     """Sharded prove with on-device sharded Merkle builds (leaf hashing +
     subtree levels per shard) — still byte-identical."""
@@ -58,6 +63,7 @@ def test_sharded_prove_byte_equal_device_hash(monkeypatch):
     _assert_equal_proofs_device(single, sharded)
 
 
+@pytest.mark.slow
 def test_sharded_lde_large():
     """2^20-coefficient sharded LDE matches the single-device kernel (the
     round-1 scalability fix: device-built step-2 twiddles, no host bigint

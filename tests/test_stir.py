@@ -40,9 +40,11 @@ def test_newton_interp():
 
 
 @pytest.mark.parametrize("sf,b,n", [
-    (Goldilocks, 3, 1 << 12),   # 3 quotient rounds
+    pytest.param(Goldilocks, 3, 1 << 12,
+                 marks=pytest.mark.slow),   # 3 quotient rounds
     (Goldilocks, 1, 1 << 8),    # single round, single poly
-    (BabyBear, 2, 1 << 10),
+    pytest.param(BabyBear, 2, 1 << 10,
+                 marks=pytest.mark.slow),
 ])
 def test_stir_roundtrip(sf, b, n):
     ext = sf.extension
@@ -120,6 +122,7 @@ def test_stir_rejects_grafted_openings():
         stir.verify(bad)
 
 
+@pytest.mark.slow
 def test_stir_beats_batched_fri_on_proof_size():
     """Same field, same degree bound, comparable security knobs: the STIR
     proof opens geometrically fewer rows than the batched FRI."""
@@ -153,6 +156,7 @@ def test_stir_beats_batched_fri_on_proof_size():
     assert sp.size_bytes(ext) < fri_size
 
 
+@pytest.mark.slow
 def test_stir_sharded_byte_identical():
     """STIR over an 8-device mesh (sharded coset NTTs + sharded index-tree
     builds) produces the same proof as the single-device path."""

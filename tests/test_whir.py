@@ -85,10 +85,12 @@ def test_fold_fiber_matches_coefficient_fold():
 
 
 @pytest.mark.parametrize("sf,b,n,k", [
-    (Goldilocks, 3, 1 << 12, 4),   # multiple iterations
+    pytest.param(Goldilocks, 3, 1 << 12, 4,
+                 marks=pytest.mark.slow),   # multiple iterations
     (Goldilocks, 1, 1 << 8, 4),    # single iteration, single poly
     (Goldilocks, 2, 1 << 10, 8),   # kappa = 3
-    (BabyBear, 2, 1 << 10, 4),
+    pytest.param(BabyBear, 2, 1 << 10, 4,
+                 marks=pytest.mark.slow),
 ])
 def test_whir_roundtrip(sf, b, n, k):
     ext = sf.extension
@@ -184,6 +186,7 @@ def test_whir_rejects_grafted_openings():
         whir.verify(bad)
 
 
+@pytest.mark.slow
 def test_whir_proof_size_comparable_to_stir():
     """WHIR opens the same geometrically-decaying query schedule as STIR;
     its extra sumcheck messages are a few scalars per iteration."""
@@ -211,6 +214,7 @@ def test_whir_grinding():
         g.verify(bad)
 
 
+@pytest.mark.slow
 def test_whir_sharded_byte_identical():
     """WHIR over an 8-device mesh (sharded coset NTTs + sharded index-tree
     builds) produces the same proof as the single-device path."""
@@ -238,7 +242,10 @@ def test_whir_sharded_byte_identical():
     assert flat(sharded) == flat(single)
 
 
-@pytest.mark.parametrize("sf,steps", [(Goldilocks, 100), (BabyBear, 77)])
+@pytest.mark.parametrize("sf,steps", [
+    (Goldilocks, 100),
+    pytest.param(BabyBear, 77, marks=pytest.mark.slow),
+])
 def test_fast_stark_whir_backend(sf, steps):
     """The fast-mode STARK over the WHIR LDT: completeness, row tampering,
     wrong witness, serialization roundtrip."""

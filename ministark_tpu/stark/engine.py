@@ -460,15 +460,14 @@ class DeviceEngine:
                 assert all(ix < tree.n_leafs for ix in sidxs)
                 handles[i] = tree.proofs_gather_async(sidxs)
 
-        # pass 2b: the small transfers are all queued — NOW start the bulk
-        # quotient payload copies; they stream while the proofs assemble
+        # pass 2b: the small transfers are all queued — NOW trim every
+        # round's quotient batch to its effective length and start the bulk
+        # payload copies; they stream while the proofs assemble
+        trim_fns = {}
         for (i, red_betas, xs, idxs_prev, idxs_next, reads, qs,
              effs, sidx) in metas:
             if qs is not None:
-                try:
-                    qs.copy_to_host_async()
-                except AttributeError:
-                    pass
+                trim_fns[i] = self._trim_quotients(qs, effs, len(red_betas))
         # materialize reads, build the points and Merkle proofs, slice each
         # round's (already streaming) quotients
         points, queries, quotients = [], [], []
@@ -496,7 +495,7 @@ class DeviceEngine:
                 proof_values.extend([y1, y2])
 
             if qs is not None:
-                round_quotients = self._trim_quotients(qs, effs, nq)
+                round_quotients = trim_fns[i]
             else:
                 round_quotients = []
                 for qi in range(nq):
@@ -644,16 +643,23 @@ class DeviceEngine:
         )
 
     def _trim_quotients(self, qs, effs, nq: int):
-        """Returns a DEFERRED (zero-arg callable) slicing each query's
-        quotient to its effective length from the full padded batch, whose
-        device->host copy was already started in the dispatch pass (the
-        quotient IS all but the last ~2 rows of the padded array, so
-        copying it whole costs the same bytes and starts rounds earlier)."""
+        """Trim the padded quotient batch to its longest effective length,
+        start the device->host copy, and return a DEFERRED (zero-arg
+        callable). Trimming matters: device rounds keep coefficients
+        zero-padded to the FIRST round's length (one compiled executable
+        for all rounds), so the untrimmed batch is ~5x the real payload
+        over the FRI chain (~1 GB vs ~200 MB at 2^20 rows)."""
         effs = [int(e) for e in np.asarray(effs)]   # already streamed async
+        m = max(effs + [0])
+        trimmed = qs[:, :m]
+        try:
+            trimmed.copy_to_host_async()
+        except AttributeError:  # older jax.Array without the method
+            pass
 
         def materialize():
-            arr = np.asarray(qs)                    # copy already streaming
-            return [arr[qi, : effs[qi]].copy() for qi in range(nq)]
+            arr = np.asarray(trimmed)               # copy already streaming
+            return [arr[qi, : effs[qi]] for qi in range(nq)]
 
         return materialize
 

@@ -159,9 +159,14 @@ def host_prove(steps):
         trace = claim.trace(witness)
         cfg = StarkConfig(sf, 20, 2, steps, trace.constrain_number())
         stark = Stark(cfg)
-        t0 = time.time()
-        stark.prove(claim, witness)
-        return time.time() - t0
+        # best of two: host wall time swings ~2x with machine load, and the
+        # oracle seconds feed the vs_baseline estimate directly
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            stark.prove(claim, witness)
+            best = min(best, time.time() - t0)
+        return best
     finally:
         set_device_enabled(True)
 

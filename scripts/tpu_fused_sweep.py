@@ -16,11 +16,12 @@ from ministark_tpu.utils.cache import setup_jax_cache
 
 setup_jax_cache(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ministark_tpu.fields import GOLDILOCKS_FP
+from ministark_tpu.fields import BABYBEAR_FP, GOLDILOCKS_FP
 from ministark_tpu.ops import gl
 from ministark_tpu.ops import ntt_mxu
 
-F = GOLDILOCKS_FP
+F = (BABYBEAR_FP if os.environ.get("SWEEP_FIELD") == "babybear"
+     else GOLDILOCKS_FP)
 rng = np.random.default_rng(1)
 fail = []
 for logn in [int(s) for s in
@@ -29,7 +30,11 @@ for logn in [int(s) for s in
     if not ntt_mxu.fused_supports(n):
         print(f"2^{logn}: fused_supports=False (skipped)", flush=True)
         continue
-    x = jnp.asarray(gl.pack(rng.integers(0, F.p, size=(2, n), dtype=np.uint64)))
+    if F is BABYBEAR_FP:
+        x = jnp.asarray(rng.integers(0, F.p, size=(2, n), dtype=np.uint32))
+    else:
+        x = jnp.asarray(gl.pack(
+            rng.integers(0, F.p, size=(2, n), dtype=np.uint64)))
     os.environ["MINISTARK_MXU_FUSED"] = "1"
     f1 = ntt_mxu.make_mxu_ntt_fns(F, n)
     os.environ["MINISTARK_MXU_FUSED"] = "0"

@@ -302,6 +302,9 @@ def orchestrate():
     import subprocess
 
     here = os.path.abspath(__file__)
+    # global deadline: the side entries (fast/stir/babybear) are optional —
+    # never let them push the FINAL JSON print past the driver's patience
+    deadline = time.time() + int(os.environ.get("BENCH_TOTAL_BUDGET", "3300"))
     # if the tunnel is down, wait it out (up to ~20 min) before burning
     # measurement budgets on hung subprocesses
     for _ in range(10):
@@ -331,13 +334,22 @@ def orchestrate():
             data = json.loads(json_lines[-1])
             if os.environ.get("BENCH_MODE") not in ("fast", "stir", "whir"):
                 for mode in ("fast", "stir"):
-                    e = _sub_entry(here, steps, label=mode, BENCH_MODE=mode)
+                    left = int(deadline - time.time())
+                    if left < 240:
+                        print(f"# skipping {mode} entry: {left}s budget left",
+                              file=sys.stderr)
+                        continue
+                    e = _sub_entry(here, steps, budget=min(900, left),
+                                   label=mode, BENCH_MODE=mode)
                     if e is not None:
                         data.setdefault("kernels", {})[
                             f"{mode}_e2e_prove"] = e
                 # second field: BabyBear(+Fp4) parity prove at 2^18 rows
-                if os.environ.get("BENCH_FIELD", "goldilocks") == "goldilocks":
-                    e = _sub_entry(here, str((1 << 18) - 1), budget=1500,
+                left = int(deadline - time.time())
+                if (os.environ.get("BENCH_FIELD", "goldilocks") == "goldilocks"
+                        and left >= 240):
+                    e = _sub_entry(here, str((1 << 18) - 1),
+                                   budget=min(1500, left),
                                    label="babybear", BENCH_FIELD="babybear")
                     if e is not None:
                         data.setdefault("kernels", {})[

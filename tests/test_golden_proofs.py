@@ -46,3 +46,34 @@ def test_golden_proof_verifies(sf, steps, name):
     constrains = trace.derive_constrains()
     cfg = StarkConfig(sf, 20, 2, steps, trace.constrain_number())
     assert Stark(cfg).verify(constrains, proof)
+
+
+@pytest.mark.parametrize("backend", ["fri", "stir", "whir"])
+def test_fast_proof_matches_golden(backend):
+    """FAST-mode golden fixtures: the complete serialized FastStark proof
+    per LDE backend is pinned — catches any drift in the FastTranscript
+    byte schedule, index-tree digests, query schedules, or the binary
+    serialization (format MSF4)."""
+    import numpy as np
+
+    from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
+    from ministark_tpu.stark.fast import FastStark, FastStarkConfig
+    from ministark_tpu.stark.proof_io import (
+        fast_proof_from_bytes,
+        fast_proof_to_bytes,
+    )
+
+    sf = Goldilocks
+    trace = fibonacci_device_trace(sf, 100)
+    stark = FastStark(FastStarkConfig(sf, 100, queries=4, final_len=8,
+                                      lde_backend=backend))
+    blob = fast_proof_to_bytes(sf, stark.prove(trace))
+    golden = open(os.path.join(GOLDEN_DIR, f"fast_{backend}_fib100.bin"),
+                  "rb").read()
+    assert blob == golden, (
+        f"fast-mode ({backend}) proof diverged from the pinned fixture — "
+        "protocol-visible behavior changed (see module docstring)"
+    )
+    # the pinned bytes also decode and verify
+    back = fast_proof_from_bytes(sf, golden)
+    assert stark.verify(np.asarray(stark._constraint_polys(trace)), back)

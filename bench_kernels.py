@@ -108,27 +108,42 @@ def kernel_rooflines():
             try:
                 os.environ["MINISTARK_MXU_FUSED"] = "1"
                 fns = ntt_mxu.make_mxu_ntt_fns(GOLDILOCKS_FP, m)
-                # the reference MUST be the non-fused XLA lowering: with the
-                # auto default, get_ntt_fns would ALSO return the fused path
-                # on TPU and the bit-check below would compare it to itself
                 os.environ["MINISTARK_MXU_FUSED"] = "0"
-                ref_fns = ntt_mxu.make_mxu_ntt_fns(GOLDILOCKS_FP, m)
+                xla_fns = ntt_mxu.make_mxu_ntt_fns(GOLDILOCKS_FP, m)
             finally:
                 if old is None:
                     os.environ.pop("MINISTARK_MXU_FUSED", None)
                 else:
                     os.environ["MINISTARK_MXU_FUSED"] = old
             try:
-                ref = ref_fns[0]
-                assert np.array_equal(np.asarray(fns[0](x)),
-                                      np.asarray(ref(x))), "fused NTT mismatch"
-                t = _time_chained(fns[0], x)
+                # bit-check oracle: the INDEPENDENT non-MXU device NTT
+                # (ops/ntt_device.make_ntt_fns — shares no digit/recombine
+                # tables with either MXU path, same oracle tests use)
+                from ministark_tpu.ops.ntt_device import make_ntt_fns
+
+                ref = make_ntt_fns(GOLDILOCKS_FP, m)[0]
+                y_ref = np.asarray(ref(x))
+                assert np.array_equal(np.asarray(fns[0](x)), y_ref), \
+                    "fused NTT mismatch vs independent oracle"
+                assert np.array_equal(np.asarray(xla_fns[0](x)), y_ref), \
+                    "XLA MXU NTT mismatch vs independent oracle"
                 bytes_moved = 2 * m * 8 * 8
+                t = _time_chained(fns[0], x)
                 results.append({
                     "metric": f"gl_ntt_fused_2^{logn}_batch2",
                     "value": round(t * 1e3, 2), "unit": "ms",
                     "roofline_frac": round(
                         bytes_moved / t / (HBM_GBPS * 1e9), 3),
+                })
+                # true A/B: the non-fused XLA-lowered MXU path, TIMED (the
+                # fused-vs-XLA comparison is driver-visible, not just a
+                # bit-check)
+                t2 = _time_chained(xla_fns[0], x)
+                results.append({
+                    "metric": f"gl_ntt_xla_2^{logn}_batch2",
+                    "value": round(t2 * 1e3, 2), "unit": "ms",
+                    "roofline_frac": round(
+                        bytes_moved / t2 / (HBM_GBPS * 1e9), 3),
                 })
             except Exception as e:  # Mosaic may reject until validated
                 print(f"# fused NTT 2^{logn} failed: {e}", file=sys.stderr)

@@ -279,12 +279,28 @@ class PackedMerkleTree:
     # proofs_gather_async once the indices arrive, proofs_finish last.
     # generate_proofs_packed composes the same stages synchronously.
 
+    @property
+    def device_resident(self) -> bool:
+        """True iff this tree was built device-side. INVARIANT: _dev_comps
+        and _dev_digests are set together (only the use_device constructor
+        branch populates either); the staged async proof pipeline
+        (search_rows_async -> proofs_gather_async) relies on both, so any
+        future construction path that half-populates the pair is a bug —
+        checked here, the single gate both stages assert through."""
+        has_comps = self._dev_comps is not None
+        has_digests = self._dev_digests is not None
+        assert has_comps == has_digests, (
+            "half-populated device tree: _dev_comps and _dev_digests must "
+            "be set together (see PackedMerkleTree.__init__ use_device)"
+        )
+        return has_comps
+
     def search_rows_async(self, rows_dev):
         """Dispatch the §8.6 first-occurrence value search for device rows
         already in this tree's leaf component format ((q, C, 2) u32 — e.g.
         rows gathered from the committed codeword itself). Returns the
         un-pulled (q,) device index array with its host copy streaming."""
-        assert self._dev_comps is not None, "device-resident trees only"
+        assert self.device_resident, "device-resident trees only"
         out = _first_match_find(self._dev_comps, rows_dev)
         try:
             out.copy_to_host_async()
@@ -315,7 +331,7 @@ class PackedMerkleTree:
         opaque handle for proofs_finish."""
         import jax.numpy as jnp
 
-        assert self._dev_digests is not None
+        assert self.device_resident, "device-resident trees only"
         k = self.config.leafs_per_node
         all_groups = self._sibling_groups(idxs)
         flat = [g for groups in all_groups for grp in groups for g in grp]

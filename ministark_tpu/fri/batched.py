@@ -291,11 +291,20 @@ class BatchedFri:
         # round-trips fine in a fresh process). Recompiling it costs ~0.2 s
         # per shape on CPU; TPU executables (de)serialize fine.
         if jax.default_backend() == "cpu":
-            from jax._src import config as _jax_config
+            try:
+                # private API (verified on the pinned jax 0.9.0); on any
+                # upgrade breakage fall back to the plain call — losing
+                # only the cache exemption, not correctness
+                from jax._src import config as _jax_config
 
-            with _jax_config.enable_compilation_cache(False):
+                cache_off = _jax_config.enable_compilation_cache(False)
+            except Exception:
                 comps, digests = _rows_tree_jit(
                     self._limbed(), self.cfg.arity, rows)
+            else:
+                with cache_off:
+                    comps, digests = _rows_tree_jit(
+                        self._limbed(), self.cfg.arity, rows)
         else:
             comps, digests = _rows_tree_jit(self._limbed(), self.cfg.arity, rows)
         return IndexMerkleTree(comps, self.cfg.arity, digests=digests)

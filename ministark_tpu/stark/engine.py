@@ -429,7 +429,7 @@ class DeviceEngine:
                 reads = _gather_two_jit(prev.codeword, nxt.codeword, i1, i2)
                 qs, effs = self._quotients_from_reads(prev, reads, xs)
                 sidx = None
-                if prev.tree._dev_comps is not None:
+                if prev.tree.device_resident:
                     nq = len(red_betas)
                     rows = _proof_rows_jit(ext, reads, nq)
                     sidx = prev.tree.search_rows_async(rows)
@@ -457,7 +457,14 @@ class DeviceEngine:
             if sidx is not None:
                 tree = rounds[i].tree
                 sidxs = [int(v) for v in np.asarray(sidx)]
-                assert all(ix < tree.n_leafs for ix in sidxs)
+                if any(ix >= tree.n_leafs for ix in sidxs):
+                    # a missed search returns index == n_leafs; JAX gathers
+                    # would silently clamp it into a well-formed-but-wrong
+                    # proof, so fail loudly (matches the host path's
+                    # PackedMerkleTree._leaf_indices semantics)
+                    from ..utils import LeafNotFound
+
+                    raise LeafNotFound()
                 handles[i] = tree.proofs_gather_async(sidxs)
 
         # pass 2b: the small transfers are all queued — NOW trim every

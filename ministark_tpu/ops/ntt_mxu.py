@@ -209,18 +209,23 @@ def _accum_words(us):
     return W
 
 
-def _digit_planes(R, NB: int, F: int):
-    """(..., NB*F) i32 matmul output -> NB offset u32 planes (..., F)
-    (contiguous slices -- no strided gather)."""
+def _digit_planes(R, NB: int, F: int, PF: "int | None" = None):
+    """(..., NB*PF) i32 matmul output -> NB offset u32 planes (..., F)
+    (contiguous slices -- no strided gather). PF is the per-digit column
+    stride: F for unpadded tables; 128 for the padded F=32 fused tables
+    (Mosaic miscompiles 32-lane column slices at non-128-aligned offsets
+    on real v5e -- scripts/tpu_f32_pad_probe.py; padding puts every slice
+    start at b*128 while keeping width F)."""
+    PF = F if PF is None else PF
     return [
-        (R[..., b * F:(b + 1) * F] + jnp.int32(OFF)).astype(U32)
+        (R[..., b * PF:b * PF + F] + jnp.int32(OFF)).astype(U32)
         for b in range(NB)
     ]
 
 
-def _recombine_gl(R, NB: int, F: int, kc: tuple):
-    """(..., NB*F) i32 -> ((..., F) lo, hi) canonical Goldilocks planes."""
-    W0, W1, W2 = _accum_words(_digit_planes(R, NB, F))
+def _recombine_gl(R, NB: int, F: int, kc: tuple, PF: "int | None" = None):
+    """(..., NB*PF) i32 -> ((..., F) lo, hi) canonical Goldilocks planes."""
+    W0, W1, W2 = _accum_words(_digit_planes(R, NB, F, PF))
     lo, hi = gl_ops._reduce128(W0, W1, W2, jnp.zeros_like(W2))
     klo, khi = kc
     return gl_ops.sub_planar(
@@ -236,11 +241,11 @@ def _red32_bb(w):
     return jnp.where(w >= P32, w - P32, w)
 
 
-def _recombine_bb(R, NB: int, F: int, kc):
-    """(..., NB*F) i32 -> ((..., F),) canonical BabyBear plane.
+def _recombine_bb(R, NB: int, F: int, kc, PF: "int | None" = None):
+    """(..., NB*PF) i32 -> ((..., F),) canonical BabyBear plane.
 
     Y < 2^26 * 2^33 < 2^64: fold with 2^32 / 2^64 residues per word."""
-    W0, W1, W2 = _accum_words(_digit_planes(R, NB, F))
+    W0, W1, W2 = _accum_words(_digit_planes(R, NB, F, PF))
     p = bb_ops.P
     t32 = np.uint32((1 << 32) % p)
     t64 = np.uint32((1 << 64) % p)
@@ -296,22 +301,27 @@ def _on_tpu() -> bool:
 
 
 def fused_supports(n: int) -> bool:
-    """Fused Pallas levels: every factor must be >= 2^6. Mosaic miscompiles
-    the F=32 level kernel on real v5e hardware (~7.6% wrong lanes at
-    n=2^17=[6,6,5], scripts/tpu_level_debug.py — levels with F=64/128 pass
-    bit-exact, interpret mode passes at every F), so factor-5 factorizations
-    take the XLA _mxu_core path instead. Among supported sizes only 2^17
-    carries a factor 5 (factorize: ceil(L/8) factors, balanced)."""
+    """Fused Pallas levels for every MXU-supported size >= 2^14.
+
+    F=32 (factor-5) levels need padded digit tables: Mosaic miscompiles the
+    recombine's 32-lane column slices at non-128-aligned offsets on real
+    v5e (~7.6% wrong lanes at n=2^17=[6,6,5]; root-caused by
+    scripts/tpu_f32_pad_probe.py — the same level with digit planes padded
+    to 128 columns is bit-exact). _build_tables pads those tables
+    (PF=128), re-validated on hardware by scripts/tpu_fused_sweep.py."""
     f = factorize(n)
-    return f is not None and n >= (1 << 14) and min(f) >= 6
+    return f is not None and n >= (1 << 14) and min(f) >= 5
 
 
 def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, has_tw, scalar_np,
-                       has_pre):
+                       has_pre, PF):
     """Kernel over one (F, rt) tile of positions: x planes -> out planes.
 
     ref order: nl x-planes, [nl coset-premultiply planes], Vd,
-    [nl expanded (rt, F) twiddle planes], nl out-planes."""
+    [nl expanded (rt, F) twiddle planes], nl out-planes.
+
+    PF: per-digit column stride of Vd (see _digit_planes — 128 for padded
+    F=32 tables, F otherwise)."""
 
     def kernel(*refs):
         i = 0
@@ -336,11 +346,11 @@ def _make_fused_kernel(nl, NA, NB, F, rt, kc_np, has_tw, scalar_np,
         R = jax.lax.dot_general(
             d, vd, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )                                                        # (rt, NB*F)
+        )                                                        # (rt, NB*PF)
         if nl == 2:
-            out = _recombine_gl(R, NB, F, kc_np)
+            out = _recombine_gl(R, NB, F, kc_np, PF)
         else:
-            out = _recombine_bb(R, NB, F, kc_np)
+            out = _recombine_bb(R, NB, F, kc_np, PF)
         if has_tw:
             out = _mul_planes(out, tuple(r[...] for r in tw_refs))
         if scalar_np is not None:
@@ -371,7 +381,8 @@ def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, scalar_np,
     rest = planes[0].shape[2:]
     rt = min(RT, R)
     xs = tuple(t.reshape(B, F, R) for t in planes)
-    vd2 = Vd.reshape(-1, Vd.shape[-1])                           # (NA*F, NB*F)
+    vd2 = Vd.reshape(-1, Vd.shape[-1])                           # (NA*F, NB*PF)
+    PF = vd2.shape[-1] // NB                                     # column stride
 
     in_specs = [
         pl.BlockSpec((1, F, rt), lambda b, r: (b, 0, r),
@@ -397,7 +408,7 @@ def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, scalar_np,
             args.append(t)
 
     kern = _make_fused_kernel(nl, NA, NB, F, rt, kc_np, tw_flat is not None,
-                              scalar_np, pre is not None)
+                              scalar_np, pre is not None, PF)
     out = pl.pallas_call(
         kern,
         out_shape=tuple(
@@ -472,7 +483,13 @@ def _mxu_core(planes, factors, v_mats, tws, NA, NB, kc):
 
 def _build_tables(field, n: int, root: int):
     """Device tables for one direction:
-    (factors, v_mats, twiddle planes, flat twiddle planes).
+    (factors, v_mats, twiddle planes, flat twiddle planes, padded v_mats).
+
+    v_pads[i]: the fused-kernel twin of v_mats[i] — for F < 64 the digit
+    columns are zero-padded to a 128 stride ((NA, F, NB*128), slices start
+    at b*128) because Mosaic miscompiles 32-lane column slices at
+    non-128-aligned offsets on real v5e (scripts/tpu_f32_pad_probe.py);
+    F >= 64 levels are hardware-validated unpadded and alias v_mats[i].
 
     v_mats[i]: (NA, F_i, NB*F_i) digit matrix. tws[i]: plane tuple shaped
     (F_{i+1}, ..., F_{k-1}) + (1,)*i + (F_i,) -- the level-i twiddle
@@ -488,7 +505,7 @@ def _build_tables(field, n: int, root: int):
     limbs, NA, NB = _params(p)
     factors = factorize(n)
     Fs = [1 << lf for lf in factors]
-    v_mats, tws, tws_flat = [], [], []
+    v_mats, tws, tws_flat, v_pads = [], [], [], []
     rem = n
     r = root
     k_prod = 1                                # prod of transformed factors
@@ -497,6 +514,13 @@ def _build_tables(field, n: int, root: int):
         root_f = pow(r, M, p)                 # w2 = w^M, order F
         vd = _dft_digit_matrix(p, root_f, F)
         v_mats.append(jnp.asarray(vd.reshape(NA, F, NB * F)))
+        if F < 64:
+            PF = 128
+            vdp = np.zeros((NA * F, NB, PF), dtype=np.int8)
+            vdp[:, :, :F] = vd.reshape(NA * F, NB, F)
+            v_pads.append(jnp.asarray(vdp.reshape(NA, F, NB * PF)))
+        else:
+            v_pads.append(v_mats[-1])
         if i < len(Fs) - 1:
             r_packed = jnp.asarray(ops.pack([r])[0])
             W = jax.jit(
@@ -521,7 +545,7 @@ def _build_tables(field, n: int, root: int):
             tws_flat.append(None)
         rem = M
         k_prod *= F
-    return factors, v_mats, tws, tws_flat
+    return factors, v_mats, tws, tws_flat, v_pads
 
 
 def make_mxu_ntt_fns(field, n: int):
@@ -535,8 +559,8 @@ def make_mxu_ntt_fns(field, n: int):
     root_inv = int(field.inv(root))
     n_inv = int(field.inv(field.from_int(n)))
 
-    factors, v_f, tw_f, twf_f = _build_tables(field, n, root)
-    _, v_i, tw_i, twf_i = _build_tables(field, n, root_inv)
+    factors, v_f, tw_f, twf_f, vp_f = _build_tables(field, n, root)
+    _, v_i, tw_i, twf_i, vp_i = _build_tables(field, n, root_inv)
     if limbs == 2:
         kp = gl_ops.pack([_recombine_const(p)])[0]
         kc = (jnp.asarray(kp[0]), jnp.asarray(kp[1]))
@@ -571,11 +595,11 @@ def make_mxu_ntt_fns(field, n: int):
 
     if use_fused:
         def core_fwd(planes, pre=None):
-            return _mxu_core_fused(planes, factors, v_f, twf_f, NA, NB,
+            return _mxu_core_fused(planes, factors, vp_f, twf_f, NA, NB,
                                    kc_np, None, interpret, pre=pre)
 
         def core_inv(planes):   # n_inv rides the last level's kernel
-            return _mxu_core_fused(planes, factors, v_i, twf_i, NA, NB,
+            return _mxu_core_fused(planes, factors, vp_i, twf_i, NA, NB,
                                    kc_np, n_inv_np, interpret)
     else:
         def core_fwd(planes, pre=None):

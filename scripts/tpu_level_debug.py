@@ -28,7 +28,7 @@ n = int(os.environ.get("LVL_N", str(1 << 17)))
 B = 2
 root = int(F.get_root_of_unity(n))
 limbs, NA, NB = M._params(F.p)
-factors, v_mats, tws, tws_flat = M._build_tables(F, n, root)
+factors, v_mats, tws, tws_flat, v_pads = M._build_tables(F, n, root)
 kp = M.gl_ops.pack([M._recombine_const(F.p)])[0]
 kc_np = (np.uint32(kp[0]), np.uint32(kp[1]))
 Fs = [1 << lf for lf in factors]

@@ -37,15 +37,31 @@ def test_supports_and_factorize():
     assert all(sum(factorize(1 << L)) == L for L in range(5, 27))
 
 
-def test_fused_supports_excludes_factor5():
-    """Mosaic miscompiles the F=32 fused level on real v5e (see
-    fused_supports docstring); 2^17 = [6,6,5] must take the XLA path."""
-    from ministark_tpu.ops.ntt_mxu import fused_supports
+def test_fused_supports_factor5_via_padded_tables():
+    """2^17 = [6,6,5] is fused-eligible again: the F=32 level uses digit
+    tables padded to a 128-column stride (the Mosaic slice-alignment fix,
+    see fused_supports / _build_tables docstrings); _build_tables must
+    actually pad it."""
+    from ministark_tpu.fields import GOLDILOCKS_FP
+    from ministark_tpu.ops.ntt_mxu import _build_tables, _params, fused_supports
 
     assert fused_supports(1 << 14) and fused_supports(1 << 18)
     assert fused_supports(1 << 20) and fused_supports(1 << 21)
-    assert not fused_supports(1 << 17)
+    assert fused_supports(1 << 17)
     assert not fused_supports(1 << 13)  # below the size floor
+
+    n = 1 << 17
+    root = int(GOLDILOCKS_FP.get_root_of_unity(n))
+    factors, v_mats, _, _, v_pads = _build_tables(GOLDILOCKS_FP, n, root)
+    _, NA, NB = _params(GOLDILOCKS_FP.p)
+    assert factors == [6, 6, 5]
+    assert v_pads[2].shape == (NA, 32, NB * 128)      # padded F=32 table
+    assert v_pads[0] is v_mats[0]                     # F=64 stays unpadded
+    # padded columns: digit b lives at [b*128, b*128+32), rest zero
+    vp = np.asarray(v_pads[2]).reshape(NA * 32, NB, 128)
+    vm = np.asarray(v_mats[2]).reshape(NA * 32, NB, 32)
+    assert np.array_equal(vp[:, :, :32], vm)
+    assert not vp[:, :, 32:].any()
 
 
 @pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
@@ -81,18 +97,20 @@ def test_extreme_values_gl():
 
 @pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
                                         (BABYBEAR_FP, _rand_bb)])
-@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 18])
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 17, 1 << 18])
 def test_fused_pallas_matches_device_ntt(field, rand, n, monkeypatch):
     """MINISTARK_MXU_FUSED=1: the fused Pallas level kernels (digitize +
     int8 dot + recombine + twiddle in one VMEM pass) run in interpret mode
     on CPU — identical integer semantics to the XLA lowering.
 
-    1<<18 is the smallest fused-eligible 3-level factorization ([6,6,6];
-    2^17 = [6,6,5] is excluded — Mosaic miscompiles the F=32 level on real
-    hardware, see fused_supports): its level-1 twiddle has K_prod > 1 and
-    exercises the pre-expanded (R, F) twiddle planes (round-2 hardware
-    regression: raw (M, F) planes + an (rt, F) BlockSpec read past row M
-    at every 3-level size, 2^20/2^21 included)."""
+    1<<18 ([6,6,6]) is the smallest fused-eligible 3-level factorization
+    whose level-1 twiddle has K_prod > 1 and exercises the pre-expanded
+    (R, F) twiddle planes (round-2 hardware regression: raw (M, F) planes
+    + an (rt, F) BlockSpec read past row M at every 3-level size).
+    1<<17 ([6,6,5]) exercises the F=32 level with PADDED digit tables
+    (PF=128 column stride — the Mosaic slice-alignment fix,
+    scripts/tpu_f32_pad_probe.py; hardware-validated by
+    scripts/tpu_fused_sweep.py)."""
     monkeypatch.setenv("MINISTARK_MXU_FUSED", "1")
     x = rand(2, n, seed=11)
     ref_fns = make_ntt_fns(field, n)

@@ -197,7 +197,7 @@ def _quot_degcor_jit(ke, coeffs, ans, roots, scales, rcor_pows):
     suffix-scan synthetic division (fori over the |G| roots, re-padded to
     d each step), then multiply by sum_l (r_cor x)^l as |G|+1 shifted adds.
 
-    ans/roots/scales: (m, *elem); scales[j] = roots[j]^-(d-1);
+    ans/roots/scales: (m, *elem); scales[j] = roots[j]^-1;
     rcor_pows: (m+1, *elem) packed powers of r_cor."""
     d = coeffs.shape[0]
     m = roots.shape[0]
@@ -465,8 +465,7 @@ class Stir:
         ans_p = jnp.asarray(np.stack([np.asarray(ke.pack_scalar(c)) for c in ans]))
         roots_p = jnp.asarray(np.stack([np.asarray(ke.pack_scalar(x)) for x in pts]))
         scales_p = jnp.asarray(np.stack([
-            np.asarray(ke.pack_scalar(ext.pow(ext.inv(x), d_i - 1)))
-            for x in pts
+            np.asarray(ke.pack_scalar(ext.inv(x))) for x in pts
         ]))
         rpows_p = jnp.asarray(np.stack([
             np.asarray(ke.pack_scalar(ext.pow(r_cor, l))) for l in range(m + 1)

@@ -334,18 +334,129 @@ def field_sum_planes(pc: PlanarCalc, pl):
 _ob = jax.lax.optimization_barrier
 
 
-def synth_div_planes(pc: PlanarCalc, pl, z_planes, zinv_scale_planes):
+_SUFFIX_RADIX = 32
+
+
+def _suffix_lanes(pc: PlanarCalc, x):
+    """Suffix sums along the last axis, two-level: radix-_SUFFIX_RADIX
+    chunk-local Hillis-Steele (log radix full passes) + a chunk-total suffix
+    at 1/radix size + one broadcast add — 6 full passes for L=1024 instead
+    of the flat scan's 10. Exact: field adds are associative."""
+    L = x.shape[-1]
+    if L <= _SUFFIX_RADIX or L % _SUFFIX_RADIX:
+        return _suffix_hillis(pc, x)
+    nch = L // _SUFFIX_RADIX
+    w = x.reshape(x.shape[:-1] + (nch, _SUFFIX_RADIX))
+    s = _suffix_hillis(pc, w)                      # within chunks
+    tails = _suffix_hillis(pc, s[..., :, 0])       # chunk totals, suffixed
+    after = jnp.concatenate(
+        [tails[..., 1:], jnp.zeros_like(tails[..., :1])], axis=-1)
+    out = pc.add(s, jnp.broadcast_to(after[..., :, None], s.shape))
+    return out.reshape(x.shape)
+
+
+def _blocked_div_tail(pc: PlanarCalc, u, lo, ilo, z_planes, zinv_planes):
+    """Shared tail of the blocked (x - z) division. ``u``: (C, rows, L) with
+    u_{r,l} = c_{r,l} * z^l (the LOCAL-power scaled coefficients); ``lo`` /
+    ``ilo``: the (C, L) ladders of z^l / z^{-l}. Returns flat (C, m) where
+    entry r*L+l = z^{-(rL+l)} * T_{rL+l} for the global suffix sums
+    T_i = sum_{j>=i} c_j z^j — i.e. q_{i-1} at index i, remainder f(z) at 0.
+
+    Identity: with i = r*L + l,
+      z^{-i} T_i = z^{-l} * (S_{r,l} + V_r),
+      S_{r,l} = sum_{j>=l} u_{r,j}                (within-row suffix)
+      V_r     = (z^{-L})^r * W_{r+1},  W_r = sum_{r'>=r} S_{r',0} (z^L)^{r'}
+    so the only FULL-LENGTH multiply here is the final z^{-l} scale; every
+    power table is a _ROW- or rows-sized ladder. Exact modular arithmetic."""
+    rows = u.shape[-2]
+    S = _suffix_lanes(pc, u)                            # (C, rows, L)
+    tot = S[..., :, 0]                                  # (C, rows)
+    zL = pc.mul(lo[..., -1:], pc.bc(z_planes, lo[..., -1:]))
+    ziL = pc.mul(ilo[..., -1:], pc.bc(zinv_planes, ilo[..., -1:]))
+    zLr = _powers_ladder(pc, zL.reshape(pc.C), rows)    # (z^L)^r
+    ziLr = _powers_ladder(pc, ziL.reshape(pc.C), rows)  # (z^-L)^r
+    wsum = _suffix_hillis(pc, pc.mul(tot, zLr))         # W_r
+    w_next = jnp.concatenate(
+        [wsum[..., 1:], jnp.zeros_like(wsum[..., :1])], axis=-1)
+    V = _ob(pc.mul(w_next, ziLr))                       # (C, rows)
+    q_full = pc.mul(
+        pc.add(S, jnp.broadcast_to(V[..., :, None], S.shape)),
+        jnp.broadcast_to(ilo[..., None, :], S.shape),
+    )
+    return q_full.reshape(u.shape[:-2] + (rows * u.shape[-1],))
+
+
+def synth_div_planes(pc: PlanarCalc, pl, z_planes, zinv_planes):
     """Quotient of division by (x - z): q_i = z^{-(i+1)} sum_{j>=i+1} c_j z^j.
-    pl: (C, m); returns (C, m-1). Mirrors poly_device.synth_div_suffix."""
+    pl: (C, m); zinv_planes: packed z^{-1}; returns (C, m-1).
+
+    Blocked local-power formulation (_blocked_div_tail): 2 full-length
+    multiplies (c * z^local in, z^-local out) instead of the 4 a
+    global-power-table formulation needs. Mirrors
+    poly_device.synth_div_suffix."""
     m = pl.shape[-1]
-    pw = powers_planes(pc, z_planes, m)
-    t = _ob(pc.mul(pl, pw))
-    suf = suffix_sums_planes(pc, t)
-    inv_pw = _ob(pc.mul(
-        pw[..., : m - 1][..., ::-1],
-        pc.bc(zinv_scale_planes, pw[..., : m - 1]),
+    if m <= 2 * _ROW or m % _ROW:
+        # small m: global tables are fine (and rows would be tiny)
+        pw = powers_planes(pc, z_planes, m)
+        t = _ob(pc.mul(pl, pw))
+        suf = suffix_sums_planes(pc, t)
+        ipw = powers_planes(pc, zinv_planes, m)         # zinv^0 .. zinv^{m-1}
+        inv_pw = _ob(pc.mul(ipw[..., : m - 1],
+                            pc.bc(zinv_planes, ipw[..., : m - 1])))
+        return pc.mul(suf[..., 1:], inv_pw)
+    rows = m // _ROW
+    w = pl.reshape(pl.shape[:-1] + (rows, _ROW))
+    lo = _powers_ladder(pc, z_planes, _ROW)             # (C, L): z^l
+    ilo = _powers_ladder(pc, zinv_planes, _ROW)         # (C, L): z^{-l}
+    u = _ob(pc.mul(w, jnp.broadcast_to(lo[..., None, :], w.shape)))
+    q_full = _blocked_div_tail(pc, u, lo, ilo, z_planes, zinv_planes)
+    # flat index r*L+l holds q_{rL+l-1}; entry 0 is the remainder f(z)
+    return q_full[..., 1:]
+
+
+def fold_div_planes(pc: PlanarCalc, pl, z_planes, alpha_planes, dv_planes,
+                    zinv_planes):
+    """One full FRI fold round, planar end-to-end: even/odd fold with alpha,
+    subtract the DEEP value at x^0, divide by (x - z); returns (C, m/2)
+    (quotient is m/2 - 1 coefficients, padded with one zero).
+
+    Fully fused: folded_j * z^j = even_j * z^j + odd_j * (alpha z^j), so the
+    fold multiply and the division's in-scale multiply collapse into two
+    half-length table multiplies — 3 half-length muls total for the whole
+    round (fold+in-scale fused, out-scale), the mul-count floor for this
+    formulation. Staying planar end-to-end also avoids two packed<->planar
+    relayout passes per round."""
+    m = pl.shape[-1]
+    h = m // 2
+    if h <= 2 * _ROW or h % _ROW:
+        folded = fold_planes(pc, pl, alpha_planes)
+        head = pc.sub(folded[..., :1], pc.bc(dv_planes, folded[..., :1]))
+        folded = jnp.concatenate([head, folded[..., 1:]], axis=-1)
+        q = synth_div_planes(pc, folded, z_planes, zinv_planes)
+        return jnp.concatenate([q, jnp.zeros_like(q[..., :1])], axis=-1)
+    rows = h // _ROW
+    w = pl.reshape(pl.shape[:-1] + (m // _ROW, _ROW))
+    even = w[..., 0::2].reshape(pl.shape[:-1] + (h,))
+    odd = w[..., 1::2].reshape(pl.shape[:-1] + (h,))
+    # (folded - dv) coefficient 0 = even_0 + alpha*odd_0 - dv: fold the DEEP
+    # subtraction into even_0 before scaling (z^0 = 1 there)
+    even = jnp.concatenate(
+        [pc.sub(even[..., :1], pc.bc(dv_planes, even[..., :1])),
+         even[..., 1:]], axis=-1)
+    lo = _powers_ladder(pc, z_planes, _ROW)             # z^l
+    ilo = _powers_ladder(pc, zinv_planes, _ROW)         # z^-l
+    alo = pc.mul(lo, pc.bc(alpha_planes, lo))           # alpha * z^l
+    we = even.reshape(pl.shape[:-1] + (rows, _ROW))
+    wo = odd.reshape(pl.shape[:-1] + (rows, _ROW))
+    u = _ob(pc.add(
+        pc.mul(we, jnp.broadcast_to(lo[..., None, :], we.shape)),
+        pc.mul(wo, jnp.broadcast_to(alo[..., None, :], wo.shape)),
     ))
-    return pc.mul(suf[..., 1:], inv_pw)
+    q_full = _blocked_div_tail(pc, u, lo, ilo, z_planes, zinv_planes)
+    # flat index i holds q_{i-1} (entry 0 = remainder, exactly 0): shift
+    # left by one and zero-pad the top coefficient
+    return jnp.concatenate(
+        [q_full[..., 1:], jnp.zeros_like(q_full[..., :1])], axis=-1)
 
 
 def eval_even_odd_planes(pc: PlanarCalc, pl, z_planes):

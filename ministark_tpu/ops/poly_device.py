@@ -239,14 +239,15 @@ def suffix_sums(k: FieldKernels, arr):
     return jax.lax.fori_loop(0, log_n, body, arr)
 
 
-def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
+def synth_div_suffix(k: FieldKernels, coeffs, zp, zinvp):
     """Quotient of division by (x - z) via the closed form
     q_i = z^{-(i+1)} * sum_{j >= i+1} c_j z^j.
 
-    Requires z != 0 (callers host-fallback on the zero challenge) and
-    ``zinv_scale`` = packed z^{-(n-1)} for n = coeffs.shape[0]. Uses one
-    powers-scan (mul) and one suffix-sum scan (add) — far cheaper to compile
-    than a mul-pair scan, and exact in modular arithmetic.
+    Requires z != 0 (callers host-fallback on the zero challenge);
+    ``zinvp`` = packed z^{-1}. The planar fast path uses the blocked
+    local-power formulation (2 full-length muls; ops/planar.py); the
+    packed fallback builds both power tables directly — exact in modular
+    arithmetic either way.
     """
     from .planar import get_planar, synth_div_planes
 
@@ -255,15 +256,16 @@ def synth_div_suffix(k: FieldKernels, coeffs, zp, zinv_scale):
     if pc is not None and n >= PLANAR_MIN:
         q = synth_div_planes(
             pc, pc.to_planes(coeffs),
-            pc.scalar_planes(zp), pc.scalar_planes(zinv_scale),
+            pc.scalar_planes(zp), pc.scalar_planes(zinvp),
         )
         return pc.from_planes(q)
     pw = powers(k, zp, n)                       # z^0 .. z^{n-1}
     t = _ob(k.mul(coeffs, pw))
     suf = suffix_sums(k, t)                      # T_i = sum_{j>=i} c_j z^j
-    # z^{-(i+1)} = z^{n-2-i} * z^{-(n-1)}  for i in [0, n-2]
+    ipw = powers(k, zinvp, n)                    # zinv^0 .. zinv^{n-1}
+    # z^{-(i+1)} = zinv^i * zinv  for i in [0, n-2]
     inv_pw = _ob(
-        k.mul(pw[: n - 1][::-1], jnp.broadcast_to(zinv_scale, pw[: n - 1].shape))
+        k.mul(ipw[: n - 1], jnp.broadcast_to(zinvp, ipw[: n - 1].shape))
     )
     return k.mul(suf[1:], inv_pw)
 

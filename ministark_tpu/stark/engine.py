@@ -373,8 +373,10 @@ class DeviceEngine:
         degree = max(eff - 1, 0)
         size = (degree + 1) * cfg.blowup_factor
 
-        # device rounds keep coefficients zero-padded to a fixed length so the
-        # fold/divide/eval executables compile exactly once for all rounds
+        # device rounds size geometrically: round r's coefficient array is
+        # half of round r-1's, so the fold/divide/eval chain costs ~2 rounds'
+        # work total (one executable per size; the persistent compile cache
+        # amortizes the per-shape compiles)
         rounds: List[_FriRoundRepr] = [self._make_round(poly_coeffs, size)]
         cur = rounds[0]
 
@@ -535,8 +537,8 @@ class DeviceEngine:
 
     # ------------------------------------------------- hybrid round helpers
     def _make_round(self, coeffs, size: int) -> "_FriRoundRepr":
-        """coeffs: device array zero-padded to a fixed length, OR a trimmed
-        host scalar list (tail rounds)."""
+        """coeffs: device array zero-padded to a power-of-two length (halving
+        each round), OR a trimmed host scalar list (tail rounds)."""
         ext = self.config.stark_field.extension
         use_device = size >= DEVICE_MIN_SIZE and not isinstance(coeffs, list)
         if isinstance(coeffs, list) or not use_device:
@@ -605,8 +607,7 @@ class DeviceEngine:
                     eff = _efflen_device(ke, rp)
                     return ke.unpack(np.asarray(rp[:eff]))
                 return rp
-            m = n0 // 2 if n0 >= 2 else 1
-            zinv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(z), m - 1)))
+            zinv = jnp.asarray(ke.pack_scalar(ext.inv(z)))
             rp = _fold_div_jit(ke, rnd.coeffs, zp, ap, dv, zinv)
             # hand off to host representation when the next round is small
             if rnd.size // 2 < DEVICE_MIN_SIZE:
@@ -643,8 +644,8 @@ class DeviceEngine:
         x1_s = stack([x1 for (x1, _, _) in xs])
         x2_s = stack([x2 for (_, x2, _) in xs])
         dxinv_s = stack([ext.inv(ext.sub(x2, x1)) for (x1, x2, _) in xs])
-        s1_s = stack([ext.pow(ext.inv(x1), n0 - 1) for (x1, _, _) in xs])
-        s2_s = stack([ext.pow(ext.inv(x2), n0 - 1) for (_, x2, _) in xs])
+        s1_s = stack([ext.inv(x1) for (x1, _, _) in xs])
+        s2_s = stack([ext.inv(x2) for (_, x2, _) in xs])
         return _query_quotients_from_reads_jit(
             ke, pc, reads, dxinv_s, x1_s, x2_s, s1_s, s2_s
         )
@@ -652,10 +653,10 @@ class DeviceEngine:
     def _trim_quotients(self, qs, effs, nq: int):
         """Trim the padded quotient batch to its longest effective length,
         start the device->host copy, and return a DEFERRED (zero-arg
-        callable). Trimming matters: device rounds keep coefficients
-        zero-padded to the FIRST round's length (one compiled executable
-        for all rounds), so the untrimmed batch is ~5x the real payload
-        over the FRI chain (~1 GB vs ~200 MB at 2^20 rows)."""
+        callable). The quotient batch is padded to the round's coefficient
+        length (each query's quotient is 2 shorter than its effective
+        numerator), so trimming still saves the slack plus any geometric
+        over-allocation from the initial padding."""
         effs = [int(e) for e in np.asarray(effs)]   # already streamed async
         m = max(effs + [0])
         trimmed = qs[:, :m]
@@ -683,9 +684,8 @@ class DeviceEngine:
                 padz = jnp.zeros((2 - pc.shape[0],) + tuple(pc.shape[1:]),
                                  dtype=jnp.uint32)
                 pc = jnp.concatenate([pc, padz], axis=0)
-            n0 = pc.shape[0]
-            x1inv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(x1), n0 - 1)))
-            x2inv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(x2), n0 - 1)))
+            x1inv = jnp.asarray(ke.pack_scalar(ext.inv(x1)))
+            x2inv = jnp.asarray(ke.pack_scalar(ext.inv(x2)))
             q2 = _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv, x2inv)
             eff = _efflen_device(ke, q2)
             return np.asarray(q2[:eff])
@@ -893,35 +893,50 @@ def _pad_to_jit(ke, arr, n):
 
 
 @partial(jax.jit, static_argnums=0)
-def _fold_div_fused(ke, coeffs, zp, ap, dv, zinv_scale):
+def _fold_div_fused(ke, coeffs, zp, ap, dv, zinvp):
     """The whole fold round in ONE executable (TPU: each dispatch costs a
     ~40 ms tunnel round trip; the graph-size compile blowup that forces the
-    split below is XLA:CPU-specific)."""
+    split below is XLA:CPU-specific). Returns the quotient at its NATURAL
+    halved length n/2 (geometric sizing: round r's executable runs at
+    length n/2^r, so the whole FRI chain costs ~2 rounds' work instead of
+    ~rounds x the first round's padded length)."""
+    from ..ops.planar import fold_div_planes, get_planar
+    from ..ops.poly_device import PLANAR_MIN
+
     n = coeffs.shape[0]
+    pc = get_planar(ke)
+    if pc is not None and n >= 2 * PLANAR_MIN:
+        # planar end-to-end: ONE packed->planar->packed round trip for the
+        # whole round (fold + DEEP subtract + divide); see ops/planar.py
+        q = fold_div_planes(
+            pc, pc.to_planes(coeffs), pc.scalar_planes(zp),
+            pc.scalar_planes(ap), pc.scalar_planes(dv),
+            pc.scalar_planes(zinvp),
+        )
+        return pc.from_planes(q)
     folded = fold_even_odd(ke, coeffs, ap)
     folded = jax.lax.optimization_barrier(folded)
-    zero = jnp.zeros_like(dv)
-    folded = jnp.concatenate(
-        [ke.sub(folded[0:1], dv[None]), ke.sub(folded[1:2], zero[None]),
-         folded[2:]], axis=0,
-    )
-    q = synth_div_suffix(ke, folded, zp, zinv_scale)
-    pad = jnp.zeros((n - q.shape[0],) + tuple(q.shape[1:]), dtype=jnp.uint32)
+    folded = jnp.concatenate([ke.sub(folded[0:1], dv[None]), folded[1:]],
+                             axis=0)
+    q = synth_div_suffix(ke, folded, zp, zinvp)
+    pad = jnp.zeros((n // 2 - q.shape[0],) + tuple(q.shape[1:]),
+                    dtype=jnp.uint32)
     return jnp.concatenate([q, pad], axis=0)
 
 
-def _fold_div_jit(ke, coeffs, zp, ap, dv, zinv_scale):
-    """One FRI fold round on fixed-size padded coefficients: fold even/odd,
-    subtract the DEEP value at x^0, divide by (x - z), pad back to the input
-    length so every round reuses the same compiled executables."""
+def _fold_div_jit(ke, coeffs, zp, ap, dv, zinvp):
+    """One FRI fold round: fold even/odd, subtract the DEEP value at x^0,
+    divide by (x - z); the result keeps its natural halved length (each
+    round compiles one executable per geometric size — the persistent
+    compile cache amortizes the extra shapes)."""
     if jax.default_backend() != "cpu":
-        return _fold_div_fused(ke, coeffs, zp, ap, dv, zinv_scale)
+        return _fold_div_fused(ke, coeffs, zp, ap, dv, zinvp)
     n = coeffs.shape[0]
     folded = _fold_jit(ke, coeffs, ap)
     zero = jnp.zeros_like(dv)
     folded = _sub_head2_jit(ke, folded, dv, zero)
-    q = _synth_div_jit(ke, folded, zp, zinv_scale)
-    return _pad_to_jit(ke, q, n)
+    q = _synth_div_jit(ke, folded, zp, zinvp)
+    return _pad_to_jit(ke, q, n // 2)
 
 
 def _query_quotient_jit(ke, pc, ap_, bp_, x1p, x2p, x1inv_scale, x2inv_scale):

@@ -93,7 +93,7 @@ if "fold" in items:
         zp = jnp.asarray(ke.pack_scalar(z))
         ap = jnp.asarray(ke.pack_scalar(alpha))
         dvp = jnp.asarray(ke.pack_scalar(dv))
-        zinv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(z), m // 2 - 1)))
+        zinv = jnp.asarray(ke.pack_scalar(ext.inv(z)))
         fused = np.asarray(_fold_div_fused(ke, coeffs, zp, ap, dvp, zinv))
         # split oracle (the CPU/test path, same planar kernels but separate
         # executables without the optimization_barrier fusion)
@@ -101,7 +101,7 @@ if "fold" in items:
         zero = jnp.zeros_like(dvp)
         folded = _sub_head2_jit(ke, folded, dvp, zero)
         q = _synth_div_jit(ke, folded, zp, zinv)
-        split = np.asarray(_pad_to_jit(ke, q, m))
+        split = np.asarray(_pad_to_jit(ke, q, m // 2))
         check(f"fold_div fused vs split 2^{logn}",
               np.array_equal(fused, split))
 

@@ -127,7 +127,7 @@ def test_synth_div_suffix_matches_scan_version():
         z = _rand_scalars(F, 1)[0]
         arr = jnp.asarray(k.pack(coeffs))
         zp = jnp.asarray(k.pack_scalar(z))
-        zinv = jnp.asarray(k.pack_scalar(F.pow(F.inv(z), len(coeffs) - 1)))
+        zinv = jnp.asarray(k.pack_scalar(F.inv(z)))
         got = k.unpack(synth_div_suffix(k, arr, zp, zinv))
         want = k.unpack(synth_div(k, arr, zp))
         assert got == want

@@ -63,7 +63,9 @@ def test_planar_fold_factor_matches_host(sf, F):
 
 
 @pytest.mark.parametrize("sf", [Goldilocks, BabyBear])
-@pytest.mark.parametrize("n", [65, 4096])
+# 65: packed fallback; 2048: planar small-m branch boundary; 3072: blocked
+# path with an odd row count; 4096: blocked path
+@pytest.mark.parametrize("n", [65, 2048, 3072, 4096])
 def test_planar_synth_div_matches_host(sf, n):
     import jax.numpy as jnp
 
@@ -77,12 +79,46 @@ def test_planar_synth_div_matches_host(sf, n):
     vals = [ext.sub(vals[0], fz)] + vals[1:]
     packed = np.asarray(ke.pack(vals)).reshape((n,) + ke.elem_axes)
 
-    zinv = ext.pow(ext.inv(z), n - 1)
+    zinv = ext.inv(z)
     q = pd.synth_div_suffix(ke, jnp.asarray(packed),
                             jnp.asarray(ke.pack_scalar(z)),
                             jnp.asarray(ke.pack_scalar(zinv)))
     got = ke.unpack(np.asarray(q))
     num = DensePolynomial(ext, vals)
+    den = DensePolynomial(ext, [ext.neg(z), ext.one()])
+    want = (num / den).to_vec()
+    want = want + [ext.zero()] * (len(got) - len(want))
+    assert got == want
+
+
+@pytest.mark.parametrize("sf", [Goldilocks, BabyBear])
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_fold_div_fused_matches_host(sf, n):
+    """The engine's one-executable FRI round (_fold_div_fused: planar fold +
+    DEEP subtract + blocked division, natural halved output) vs the host
+    polynomial oracle."""
+    import jax.numpy as jnp
+
+    from ministark_tpu.stark.engine import _fold_div_fused
+
+    ext = sf.extension
+    ke = get_kernels(ext)
+    rng = ark_test_rng()
+    vals, packed = _rand_packed(ext, n)
+    z = ext.rand(rng)
+    alpha = ext.rand(rng)
+    even = DensePolynomial(ext, vals[0::2])
+    odd = DensePolynomial(ext, vals[1::2])
+    folded = even + odd.scale(alpha)
+    dv = folded.evaluate(z)  # engine: deep_value = f_e(z) + alpha*f_o(z)
+    out = _fold_div_fused(
+        ke, jnp.asarray(packed), jnp.asarray(ke.pack_scalar(z)),
+        jnp.asarray(ke.pack_scalar(alpha)), jnp.asarray(ke.pack_scalar(dv)),
+        jnp.asarray(ke.pack_scalar(ext.inv(z))),
+    )
+    assert out.shape[0] == n // 2
+    got = ke.unpack(np.asarray(out))
+    num = folded - DensePolynomial(ext, [dv])
     den = DensePolynomial(ext, [ext.neg(z), ext.one()])
     want = (num / den).to_vec()
     want = want + [ext.zero()] * (len(got) - len(want))

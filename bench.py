@@ -289,8 +289,9 @@ def _sub_entry(here: str, steps: str, budget: int = 900, label: str = "",
         return None
     d = json.loads(json_lines[-1])
     entry = {"value": d["value"], "unit": d["unit"]}
-    if "proof_bytes" in d:
-        entry["proof_bytes"] = d["proof_bytes"]
+    for k in ("proof_bytes", "device_s", "phases"):
+        if k in d:
+            entry[k] = d[k]
     return entry
 
 
@@ -333,27 +334,33 @@ def orchestrate():
         if proc.returncode == 0 and json_lines:
             data = json.loads(json_lines[-1])
             if os.environ.get("BENCH_MODE") not in ("fast", "stir", "whir"):
-                for mode in ("fast", "stir"):
+                # side entries in priority order; each guarded by the global
+                # deadline (compiled executables persist in .jax_cache, so
+                # pre-warmed configs cost ~1-2 min each, cold ones ~4 min)
+                side = [
+                    # (kernels key, steps, extra env)
+                    ("fast_e2e_prove", steps, {"BENCH_MODE": "fast"}),
+                    ("stir_e2e_prove", steps, {"BENCH_MODE": "stir"}),
+                    ("whir_e2e_prove", steps, {"BENCH_MODE": "whir"}),
+                    ("babybear_e2e_prove_2^20", str((1 << 20) - 1),
+                     {"BENCH_FIELD": "babybear"}),
+                    ("fast_e2e_prove_2^22", str((1 << 22) - 1),
+                     {"BENCH_MODE": "fast"}),
+                    ("fast_prove_many_batch4", steps,
+                     {"BENCH_MODE": "fast", "BENCH_BATCH": "4"}),
+                ]
+                if os.environ.get("BENCH_FIELD", "goldilocks") != "goldilocks":
+                    side = [s for s in side if "babybear" not in s[0]]
+                for key, ssteps, extra in side:
                     left = int(deadline - time.time())
                     if left < 240:
-                        print(f"# skipping {mode} entry: {left}s budget left",
+                        print(f"# skipping {key} entry: {left}s budget left",
                               file=sys.stderr)
                         continue
-                    e = _sub_entry(here, steps, budget=min(900, left),
-                                   label=mode, BENCH_MODE=mode)
+                    e = _sub_entry(here, ssteps, budget=min(1200, left),
+                                   label=key, **extra)
                     if e is not None:
-                        data.setdefault("kernels", {})[
-                            f"{mode}_e2e_prove"] = e
-                # second field: BabyBear(+Fp4) parity prove at 2^18 rows
-                left = int(deadline - time.time())
-                if (os.environ.get("BENCH_FIELD", "goldilocks") == "goldilocks"
-                        and left >= 240):
-                    e = _sub_entry(here, str((1 << 18) - 1),
-                                   budget=min(1500, left),
-                                   label="babybear", BENCH_FIELD="babybear")
-                    if e is not None:
-                        data.setdefault("kernels", {})[
-                            "babybear_e2e_prove_2^18"] = e
+                        data.setdefault("kernels", {})[key] = e
             print(json.dumps(data))
             return 0
         print(f"# bench attempt failed rc={proc.returncode}", file=sys.stderr)

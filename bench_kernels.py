@@ -78,6 +78,59 @@ def kernel_rooflines():
         "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
     })
 
+    # --- planar field-mul calibration (speed-of-light denominators) ---
+    # The limb-planar layout multiplies far faster than the packed layout
+    # measured above; the hot kernels (fold+div, NTT recombine) run planar,
+    # so their compute bounds must use THESE rates (BENCHMARKS.md
+    # "speed of light" table).
+    from ministark_tpu.ops.planar import get_planar
+
+    ke2 = get_kernels(GOLDILOCKS_FP2)
+    pc2 = get_planar(ke2)
+    mpl = 1 << 21
+    pl = jnp.asarray(
+        rng.integers(0, 1 << 31, size=(4, mpl), dtype=np.uint64)
+    ).astype(jnp.uint32)
+    t = _time_chained(lambda v: pc2.mul(v, pl), pl)
+    results.append({
+        "metric": "fp2_mul_planar_throughput",
+        "value": round(mpl / t / 1e9, 2),
+        "unit": "Gext/s",  # 1 ext mul = 3 base muls (Karatsuba)
+    })
+    pcb = get_planar(get_kernels(GOLDILOCKS_FP))
+    plb = pl[:2]
+    t = _time_chained(lambda v: pcb.mul(v, plb), plb)
+    results.append({
+        "metric": "gl_mul_planar_throughput",
+        "value": round(mpl / t / 1e9, 2),
+        "unit": "Gop/s",
+    })
+
+    # --- MXU s8 MAC rate (the NTT dot's denominator) ---
+    if jax.default_backend() in ("tpu", "axon"):
+        import jax.lax as lax
+
+        dm = 4096
+        a8 = jnp.asarray(
+            rng.integers(-128, 128, size=(dm, dm), dtype=np.int64)
+        ).astype(jnp.int8)
+        b8 = jnp.asarray(
+            rng.integers(-128, 128, size=(dm, dm), dtype=np.int64)
+        ).astype(jnp.int8)
+
+        def s8dot(v):
+            y = lax.dot_general(v, b8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            # feed the s32 result back as s8 so the chain stays data-dep
+            return (y & 127).astype(jnp.int8)
+
+        t = _time_chained(s8dot, a8)
+        results.append({
+            "metric": "mxu_s8_matmul_4096",
+            "value": round(dm**3 / t / 1e12, 1),
+            "unit": "TMAC/s",
+        })
+
     # --- LDE-NTT (the headline kernel; MXU int8-matmul path on TPU) ---
     for logn in (20, 21):
         m = 1 << logn
@@ -149,11 +202,12 @@ def kernel_rooflines():
                 print(f"# fused NTT 2^{logn} failed: {e}", file=sys.stderr)
 
     # --- FRI fold+divide round: the engine's EXACT per-round executable
-    # (stark/engine._fold_div_fused: even/odd fold + DEEP subtract +
-    # suffix-scan division by (x - z), re-padded to the input length) —
-    # shape-preserving by construction, so it chains without any artificial
-    # re-concatenation. This is the cost the device engine pays per FRI
-    # round at the padded length (reference hot loop: fri.rs:96-101).
+    # (stark/engine._fold_div_fused: planar even/odd fold + DEEP subtract +
+    # blocked local-power division by (x - z); output at the natural halved
+    # length). The kernel halves its shape, so for slope timing each
+    # iteration re-pads the m/2 quotient back to m (one extra m-length
+    # write, charged against the kernel — the reported time is a slight
+    # OVERestimate). Reference hot loop: fri.rs:96-101.
     from ministark_tpu.stark.engine import _fold_div_fused
 
     ke = get_kernels(GOLDILOCKS_FP2)
@@ -168,15 +222,37 @@ def kernel_rooflines():
     zp = jnp.asarray(ke.pack_scalar(z))
     ap = jnp.asarray(ke.pack_scalar(alpha))
     dvp = jnp.asarray(ke.pack_scalar(dv))
-    zinv = jnp.asarray(ke.pack_scalar(ext.pow(ext.inv(z), m // 2 - 1)))
-    t = _time_chained(lambda c: _fold_div_fused(ke, c, zp, ap, dvp, zinv),
-                      coeffs)
-    # speed-of-light: one read + one write of the padded (m, 2, 2) array
-    bytes_moved = m * 16 * 2
+    zinv = jnp.asarray(ke.pack_scalar(ext.inv(z)))
+
+    def fold_div_round(c):
+        q = _fold_div_fused(ke, c, zp, ap, dvp, zinv)       # (m/2, 2, 2)
+        return jnp.concatenate([q, q], axis=0)              # re-pad to m
+
+    t = _time_chained(fold_div_round, coeffs)
+    # HBM model: one read of m + one write of m/2 packed fp2 elements
+    # (16 B each). The true binding resource is the VPU field-mul rate —
+    # see BENCHMARKS.md "speed of light" for the recomputable bound.
+    bytes_moved = m * 16 + (m // 2) * 16
     results.append({
         "metric": "fri_fold_div_2^21_fp2", "value": round(t * 1e3, 2),
         "unit": "ms",
         "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+    })
+
+    # --- the whole geometric FRI fold chain 2^21 -> 2^12 in one jit: what
+    # a 2^20-row prove actually pays for ALL device fold+div rounds
+    # (geometric sizing; was ~rounds x the padded first-round cost)
+    @jax.jit
+    def fold_div_chain(c):
+        cur = c
+        while cur.shape[0] > (1 << 12):
+            cur = _fold_div_fused(ke, cur, zp, ap, dvp, zinv)
+        return ke.add(c, jnp.broadcast_to(cur[0:1], c.shape))
+
+    t = _time_chained(fold_div_chain, coeffs)
+    results.append({
+        "metric": "fri_fold_div_chain_2^21_to_2^12",
+        "value": round(t * 1e3, 2), "unit": "ms",
     })
 
     # --- batched multi-poly FRI commit, 4-ary tree (BASELINE config 4) ---

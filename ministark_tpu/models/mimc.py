@@ -127,10 +127,17 @@ def mimc_device_trace(stark_field, steps: int, s0: int = 3) -> DeviceTrace:
     omega_p = kb.pack_scalar(domain.group_gen)
 
     def cubic(tp):
+        import jax
+
         fft, ifft, _, _ = get_ntt_fns(base, n)
         evs = fft(tp[:2])                        # (2, n, *e) column evals
         t = kb.add(evs[0], jnp.asarray(k_packed))
-        c = kb.sub(kb.mul(kb.mul(t, t), t), evs[1])
+        # fence the cube's mul chain: unfenced, XLA's algebraic simplifier
+        # chases the expanded wide-integer t*t*t expression in circles under
+        # shard_map ("circular simplification loop ... 50 runs" in the
+        # round-3 dryrun log) and loop-fusion re-executes t*t per use site
+        t2 = jax.lax.optimization_barrier(kb.mul(t, t))
+        c = kb.sub(kb.mul(t2, t), evs[1])
         return ifft(c[None])[0]
 
     def link(tp):
@@ -157,9 +164,12 @@ def mimc_device_trace(stark_field, steps: int, s0: int = 3) -> DeviceTrace:
     _n_inv = np.asarray(ops.pack([base.inv(base.from_int(n))])[0])
 
     def cubic_inline(tp):
+        import jax
+
         evs = _ntt_fori(ops, tp[:2], _rev_n, _tw, n)
         t = kb.add(evs[0], jnp.asarray(k_packed))
-        c = kb.sub(kb.mul(kb.mul(t, t), t), evs[1])
+        t2 = jax.lax.optimization_barrier(kb.mul(t, t))  # see cubic()
+        c = kb.sub(kb.mul(t2, t), evs[1])
         y = _ntt_fori(ops, c[None], _rev_n, _tw_inv, n)
         return ops.mul(y, _n_inv[None, None])[0]
 

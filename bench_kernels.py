@@ -78,6 +78,23 @@ def kernel_rooflines():
         "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
     })
 
+    # --- HBM stream calibration (attainable bandwidth by slope) ---
+    ns = 1 << 24
+    st = jnp.asarray(rng.integers(0, 1 << 32, size=ns, dtype=np.uint64)
+                     ).astype(jnp.uint32)
+
+    def stream(v):
+        # cheap non-idempotent elementwise body: 1 read + 1 write per u32
+        # (xor+shift+add — too cheap to be compute-bound, too entangled to
+        # constant-fold through the barrier)
+        return (v ^ np.uint32(2654435761)) + (v >> np.uint32(1))
+
+    t = _time_chained(stream, st)
+    results.append({
+        "metric": "hbm_stream",
+        "value": round(2 * 4 * ns / t / 1e9, 0), "unit": "GB/s",
+    })
+
     # --- planar field-mul calibration (speed-of-light denominators) ---
     # The limb-planar layout multiplies far faster than the packed layout
     # measured above; the hot kernels (fold+div, NTT recombine) run planar,
@@ -88,8 +105,10 @@ def kernel_rooflines():
     ke2 = get_kernels(GOLDILOCKS_FP2)
     pc2 = get_planar(ke2)
     mpl = 1 << 21
+    # the kernels' actual layout: (C, rows, 1024) row view — a flat (C, m)
+    # puts C=4 on the sublane axis and wastes half of every (8, 128) tile
     pl = jnp.asarray(
-        rng.integers(0, 1 << 31, size=(4, mpl), dtype=np.uint64)
+        rng.integers(0, 1 << 31, size=(4, mpl // 1024, 1024), dtype=np.uint64)
     ).astype(jnp.uint32)
     t = _time_chained(lambda v: pc2.mul(v, pl), pl)
     results.append({
@@ -98,7 +117,7 @@ def kernel_rooflines():
         "unit": "Gext/s",  # 1 ext mul = 3 base muls (Karatsuba)
     })
     pcb = get_planar(get_kernels(GOLDILOCKS_FP))
-    plb = pl[:2]
+    plb = pl[:2]  # (2, rows, 1024)
     t = _time_chained(lambda v: pcb.mul(v, plb), plb)
     results.append({
         "metric": "gl_mul_planar_throughput",

@@ -369,7 +369,11 @@ def _blocked_div_tail(pc: PlanarCalc, u, lo, ilo, z_planes, zinv_planes):
     so the only FULL-LENGTH multiply here is the final z^{-l} scale; every
     power table is a _ROW- or rows-sized ladder. Exact modular arithmetic."""
     rows = u.shape[-2]
-    S = _suffix_lanes(pc, u)                            # (C, rows, L)
+    # fence the suffix result: unfenced, XLA loop-fuses the whole
+    # Hillis-Steele shifted-add chain into every downstream consumer and
+    # re-executes it per use (measured on v5e: the final out-scale mul
+    # read 1.3 ms composed vs 0.17 ms isolated; scripts/tpu_fold_bisect2.py)
+    S = _ob(_suffix_lanes(pc, u))                       # (C, rows, L)
     tot = S[..., :, 0]                                  # (C, rows)
     zL = pc.mul(lo[..., -1:], pc.bc(z_planes, lo[..., -1:]))
     ziL = pc.mul(ilo[..., -1:], pc.bc(zinv_planes, ilo[..., -1:]))
@@ -379,10 +383,8 @@ def _blocked_div_tail(pc: PlanarCalc, u, lo, ilo, z_planes, zinv_planes):
     w_next = jnp.concatenate(
         [wsum[..., 1:], jnp.zeros_like(wsum[..., :1])], axis=-1)
     V = _ob(pc.mul(w_next, ziLr))                       # (C, rows)
-    q_full = pc.mul(
-        pc.add(S, jnp.broadcast_to(V[..., :, None], S.shape)),
-        jnp.broadcast_to(ilo[..., None, :], S.shape),
-    )
+    SV = _ob(pc.add(S, jnp.broadcast_to(V[..., :, None], S.shape)))
+    q_full = pc.mul(SV, jnp.broadcast_to(ilo[..., None, :], SV.shape))
     return q_full.reshape(u.shape[:-2] + (rows * u.shape[-1],))
 
 

@@ -72,6 +72,12 @@ def powers(k: FieldKernels, x, n: int):
     pw0 = jnp.broadcast_to(one, (n,) + tuple(x.shape))
     if n == 1:
         return pw0
+    if n == 2:
+        # direct construction: the generic path's trip-count-1 fori_loop gets
+        # unrolled by XLA into a select/shift chain that sends the algebraic
+        # simplifier into a "circular simplification loop" under the SPMD
+        # partitioner (root-caused by scripts/mimc_simplifier_probe.py)
+        return jnp.stack([one, x])
     log_n = (n - 1).bit_length()
     idx = jnp.arange(n)
 

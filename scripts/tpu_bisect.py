@@ -85,8 +85,8 @@ if "fold" in items:
 
     for logn in (12, 18, 21):
         m = 1 << logn
-        coeffs = jnp.asarray(
-            gl.pack(rng.integers(0, F.p, size=(m, 2), dtype=np.uint64)))
+        vals_u = rng.integers(0, F.p, size=(m, 2), dtype=np.uint64)
+        coeffs = jnp.asarray(gl.pack(vals_u))
         z = ext.from_base_coeffs((12345, 67890))
         alpha = ext.from_base_coeffs((99991, 31337))
         dv = ext.from_base_coeffs((777, 4242))
@@ -104,6 +104,21 @@ if "fold" in items:
         split = np.asarray(_pad_to_jit(ke, q, m // 2))
         check(f"fold_div fused vs split 2^{logn}",
               np.array_equal(fused, split))
+        if logn <= 12:
+            # independent host oracle (exact Python ints): fold even/odd,
+            # subtract dv at x^0, divide by (x - z) by synthetic division
+            cs = [ext.from_base_coeffs((int(a), int(b))) for a, b in vals_u]
+            folded_h = [ext.add(cs[2 * i], ext.mul(alpha, cs[2 * i + 1]))
+                        for i in range(m // 2)]
+            folded_h[0] = ext.sub(folded_h[0], dv)
+            qh = [ext.zero()] * (m // 2)
+            acc = ext.zero()
+            for i in range(m // 2 - 1, 0, -1):
+                acc = ext.add(folded_h[i], ext.mul(acc, z))
+                qh[i - 1] = acc
+            exp = np.stack([np.asarray(ke.pack_scalar(v)) for v in qh])
+            check(f"fold_div fused vs HOST 2^{logn}",
+                  np.array_equal(fused.reshape(exp.shape), exp))
 
 if "eval" in items:
     from ministark_tpu.ops.poly_device import eval_many, eval_even_odd

@@ -217,7 +217,13 @@ def main():
         try:
             from bench_kernels import kernel_rooflines
 
-            for r in kernel_rooflines():
+            # deadline-aware: on a cold host the kernel compiles can eat the
+            # whole attempt budget; better to ship the headline with partial
+            # kernels than to die to the orchestrator's timeout
+            deadline = None
+            if os.environ.get("BENCH_INNER_DEADLINE"):
+                deadline = float(os.environ["BENCH_INNER_DEADLINE"])
+            for r in kernel_rooflines(deadline=deadline):
                 entry = {"value": r["value"], "unit": r["unit"]}
                 if "roofline_frac" in r:
                     entry["roofline_frac"] = r["roofline_frac"]
@@ -319,7 +325,8 @@ def orchestrate():
         (str((1 << 17) - 1), 1200),
     ]
     for steps, budget in tries:
-        env = dict(os.environ, BENCH_INNER="1", BENCH_STEPS=steps)
+        env = dict(os.environ, BENCH_INNER="1", BENCH_STEPS=steps,
+                   BENCH_INNER_DEADLINE=str(time.time() + budget - 90))
         try:
             proc = subprocess.run(
                 [sys.executable, here], env=env, timeout=budget,

@@ -59,8 +59,21 @@ def _time_chained(fn, x, k1=8, k2=40):
     return max((timed(k2) - timed(k1)) / (k2 - k1), 1e-9)
 
 
-def kernel_rooflines():
-    """Measure the hot kernels; returns a list of result dicts."""
+def kernel_rooflines(deadline=None):
+    """Measure the hot kernels; returns a list of result dicts.
+
+    ``deadline``: optional absolute time.time() cutoff — on a cold host the
+    per-entry compiles through the remote-compile tunnel can eat a whole
+    bench attempt; when past the deadline the remaining entries are skipped
+    (with a stderr note) so the caller still ships its headline JSON."""
+
+    def past_deadline(stage: str) -> bool:
+        if deadline is not None and time.time() > deadline:
+            print(f"# kernel bench deadline hit; skipping from: {stage}",
+                  file=sys.stderr)
+            return True
+        return False
+
     from ministark_tpu.fields import GOLDILOCKS_FP, GOLDILOCKS_FP2
     from ministark_tpu.ops import gl
     from ministark_tpu.ops.ntt_device import get_ntt_fns
@@ -78,6 +91,8 @@ def kernel_rooflines():
         "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
     })
 
+    if past_deadline('hbm_stream'):
+        return results
     # --- HBM stream calibration (attainable bandwidth by slope) ---
     ns = 1 << 24
     st = jnp.asarray(rng.integers(0, 1 << 32, size=ns, dtype=np.uint64)
@@ -95,6 +110,8 @@ def kernel_rooflines():
         "value": round(2 * 4 * ns / t / 1e9, 0), "unit": "GB/s",
     })
 
+    if past_deadline('planar mul calibration'):
+        return results
     # --- planar field-mul calibration (speed-of-light denominators) ---
     # The limb-planar layout multiplies far faster than the packed layout
     # measured above; the hot kernels (fold+div, NTT recombine) run planar,
@@ -125,6 +142,8 @@ def kernel_rooflines():
         "unit": "Gop/s",
     })
 
+    if past_deadline('mxu_s8_matmul'):
+        return results
     # --- MXU s8 MAC rate (the NTT dot's denominator) ---
     if jax.default_backend() in ("tpu", "axon"):
         import jax.lax as lax
@@ -150,6 +169,8 @@ def kernel_rooflines():
             "unit": "TMAC/s",
         })
 
+    if past_deadline('gl_ntt'):
+        return results
     # --- LDE-NTT (the headline kernel; MXU int8-matmul path on TPU) ---
     for logn in (20, 21):
         m = 1 << logn
@@ -167,6 +188,8 @@ def kernel_rooflines():
             "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
         })
 
+    if past_deadline('gl_ntt_fused'):
+        return results
     # --- fused Pallas MXU-NTT levels (opt-in path, A/B vs the XLA MXU) ---
     if jax.default_backend() in ("tpu", "axon") and \
             os.environ.get("BENCH_SKIP_FUSED") != "1":
@@ -220,6 +243,8 @@ def kernel_rooflines():
             except Exception as e:  # Mosaic may reject until validated
                 print(f"# fused NTT 2^{logn} failed: {e}", file=sys.stderr)
 
+    if past_deadline('fri_fold_div'):
+        return results
     # --- FRI fold+divide round: the engine's EXACT per-round executable
     # (stark/engine._fold_div_fused: planar even/odd fold + DEEP subtract +
     # blocked local-power division by (x - z); output at the natural halved
@@ -258,6 +283,8 @@ def kernel_rooflines():
         "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
     })
 
+    if past_deadline('fri_fold_div_chain'):
+        return results
     # --- the whole geometric FRI fold chain 2^21 -> 2^12 in one jit: what
     # a 2^20-row prove actually pays for ALL device fold+div rounds
     # (geometric sizing; was ~rounds x the padded first-round cost)
@@ -274,6 +301,8 @@ def kernel_rooflines():
         "value": round(t * 1e3, 2), "unit": "ms",
     })
 
+    if past_deadline('batched_commit'):
+        return results
     # --- batched multi-poly FRI commit, 4-ary tree (BASELINE config 4) ---
     # 4 polys of 2^20 coeffs LDE'd to 2^21 + one 4-ary row tree over the
     # 2^21 x 4 value matrix. Hash-bound (VPU), so reported as leaf rows/s.

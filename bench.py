@@ -145,7 +145,13 @@ def fast_prove(steps):
         t_verify = time.time() - t0
     print(f"# fast proof size {proof.size_bytes() / 1e6:.2f} MB"
           f" (batch {batch})", file=sys.stderr)
-    return t_prove, t_verify, {"proof_bytes": proof.size_bytes()}
+    phases = dict(stark.phase_seconds)
+    return t_prove, t_verify, {
+        "proof_bytes": proof.size_bytes(),
+        "device_s": round(sum(phases.values()), 2),
+        "phases": {k: round(v, 2) for k, v in sorted(
+            phases.items(), key=lambda kv: -kv[1])[:8]},
+    }
 
 
 def host_prove(steps):
@@ -319,9 +325,13 @@ def orchestrate():
             break
         print("# TPU tunnel unresponsive; waiting 120s", file=sys.stderr)
         time.sleep(120)
+    # first attempt gets the lion's share: a fully cold host pays ~20 min
+    # of remote compiles for the geometric FRI executables alone (measured
+    # cold prove 1239 s round 4) and every compile persists in .jax_cache,
+    # so even a timed-out first attempt leaves attempt 2 nearly warm
     tries = [
-        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 2100),
-        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 2100),
+        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 3000),
+        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 1500),
         (str((1 << 17) - 1), 1200),
     ]
     for steps, budget in tries:

@@ -99,15 +99,18 @@ def kernel_rooflines(deadline=None):
                      ).astype(jnp.uint32)
 
     def stream(v):
-        # cheap non-idempotent elementwise body: 1 read + 1 write per u32
-        # (xor+shift+add — too cheap to be compute-bound, too entangled to
-        # constant-fold through the barrier)
-        return (v ^ np.uint32(2654435761)) + (v >> np.uint32(1))
+        # reduction-coupled body: the .sum() forces a FULL read of the
+        # array every iteration even after XLA unrolls the timing loop and
+        # fuses the elementwise parts into a register chain (a pure
+        # elementwise body measured an impossible ~7000 GB/s that way —
+        # 40 iterations collapsed to one read+write). One read per
+        # iteration is the traffic this measures.
+        return v + v.sum()
 
     t = _time_chained(stream, st)
     results.append({
         "metric": "hbm_stream",
-        "value": round(2 * 4 * ns / t / 1e9, 0), "unit": "GB/s",
+        "value": round(4 * ns / t / 1e9, 0), "unit": "GB/s",  # read rate
     })
 
     if past_deadline('planar mul calibration'):

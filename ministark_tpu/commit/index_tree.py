@@ -44,7 +44,17 @@ from ..ops.sha256 import (
 @partial(jax.jit, static_argnums=1)
 def _build_digests(comps, arity: int):
     """(n, C, 2) u32 rows -> concatenated digest levels (leaves first,
-    root last), one executable for the whole tree."""
+    root last), one executable for the whole tree.
+
+    Large trees take the Pallas SHA-256 path (whole compression in VMEM;
+    ops/sha256_pallas.py) when MINISTARK_SHA_PALLAS allows — the digests
+    are bit-identical either way, so the choice never affects proofs.
+    The env var is read at TRACE time (first call per shape)."""
+    from ..ops import sha256_pallas as sp
+
+    if sp.enabled() and comps.shape[0] % sp.MIN_LANES == 0 \
+            and comps.shape[0] >= sp.MIN_LANES:
+        return sp.build_digests_tr(comps, arity, interpret=not sp._on_tpu())
     levels = [binary_row_digests(comps)]
     cur = levels[0]
     while cur.shape[0] > 1:

@@ -116,6 +116,15 @@ class FastStark:
         self.ke = get_kernels(self.ext)
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # wall-segment phase timing, same scheme as DeviceEngine._t (the
+        # transcript pulls between phases serialize the async dispatches,
+        # so segment walls attribute device time well enough for the bench)
+        self.phase_seconds: dict = {}
+        self._t0 = None
+        self._last_label = None
+        import os as _os
+
+        self._trace_on = _os.environ.get("MINISTARK_TRACE") == "1"
         if config.lde_backend == "stir":
             from ..fri.stir import Stir, StirConfig
 
@@ -140,6 +149,23 @@ class FastStark:
                 final_len=config.final_len,
                 grinding_bits=config.grinding_bits,
             ), mesh=mesh, mesh_axis=mesh_axis)
+
+    def _t(self, label: str):
+        """Close the previous phase, open ``label``; accumulate durations."""
+        import sys
+        import time as _time
+
+        now = _time.time()
+        if self._t0 is not None:
+            dt = now - self._t0
+            self.phase_seconds[self._last_label] = (
+                self.phase_seconds.get(self._last_label, 0.0) + dt
+            )
+            if self._trace_on:
+                print(f"[fast] {self._last_label}: {dt:.2f}s",
+                      file=sys.stderr, flush=True)
+        self._t0 = now
+        self._last_label = label
 
     def _transcript(self, width: int, n_transitions: int, n: int,
                     n_traces: int = 1) -> FastTranscript:
@@ -178,6 +204,9 @@ class FastStark:
         per-trace cost amortizes toward pure bandwidth (the TPU throughput
         regime; no reference counterpart)."""
         ext, ke = self.ext, self.ke
+        self.phase_seconds = {}
+        self._t0 = None
+        self._t("constraint_polys")
         B = len(traces)
         all_b = jnp.stack([self._constraint_polys(t) for t in traces])
         total, n = int(all_b.shape[1]), int(all_b.shape[2])
@@ -187,12 +216,14 @@ class FastStark:
 
         # 1. COMMIT the constraint polynomials, absorb, THEN draw challenges
         #    (nothing may be squeezed before the witness commitment binds).
+        self._t("commit_witness")
         ext_flat = lift_base_array(
             ke, all_b.reshape((B * total, n) + all_b.shape[3:])
         )                                                 # (B(w+t), n, *ext)
         tree_w = self.fri.commit(ext_flat)
         tr.absorb(tree_w.root())
 
+        self._t("point_evals")
         r = tr.challenge_scalar(ext)
         weights = jnp.asarray(ke.pack([ext.pow(r, i) for i in range(total)]))
         ext_3d = ext_flat.reshape((B, total, n) + ext_flat.shape[2:])
@@ -207,11 +238,14 @@ class FastStark:
             point_evals.append(evals)
 
         # 2. commit the validities (they depend on r), absorb, run the LDT
+        self._t("commit_validities")
         tree_v = self.fri.commit(validities)
         tr.absorb(tree_v.root())
+        self._t("lde_prove")
         fri_proof = self.fri.prove(
             groups=[ext_flat, validities], trees=[tree_w, tree_v], transcript=tr,
         )
+        self._t("end")
         return FastStarkProof(
             width=w, transitions=total - w,
             point_evals=point_evals, fri_proof=fri_proof, n_traces=B,

@@ -223,6 +223,9 @@ class DeviceEngine:
 
         self.phase_seconds = {}
         self._t0 = None
+        if self._prewarm_pool is None and not getattr(self, "_prewarmed", False):
+            self._prewarmed = True
+            self._start_prewarm(trace, n)
         self._t("trace_commit")
         # 1.1 trace commitment (cols hold canonical values < p, fit in u64)
         if trace.cols_dev is not None:
@@ -311,6 +314,7 @@ class DeviceEngine:
         fri_proof = self._fri_prove(merlin, ext_mixed)
 
         self._t("done")
+        self._finish_prewarm()
         return StarkProof(
             arthur=merlin.transcript(),
             trace_commit=trace_commit,
@@ -361,6 +365,122 @@ class DeviceEngine:
             ext, self._ext_to_u64(codeword), self.config.fri_config.merkle_config
         )
 
+    _prewarm_pool = None
+
+    def _start_prewarm(self, trace, n: int):
+        """Compile the prove's shape-keyed executables CONCURRENTLY, in the
+        background, while the main thread runs the (serial) protocol.
+
+        A cold prove pays ~20 min of SERIAL remote compiles through this
+        environment's compile tunnel (measured 1239-1402 s at 2^20:
+        ~11 geometric FRI sizes x {deep-evals, fold+divide, codeword NTT,
+        tree build, gathers, quotients} at ~20-80 s each, plus the
+        trace/LDE/mix/eval executables). The protocol is sequential —
+        transcript challenges chain — but the executables are value-
+        independent, so a thread pool can compile all of them while the
+        main thread needs only the first few; jax's per-executable compile
+        lock hands the main thread a finished (or in-flight) compile
+        instead of a cold one. Dummy zero-value calls match the real
+        shapes exactly: a FRI round of size s carries s/2 coefficients
+        (the poly degree halves each fold), so the codeword NTT always
+        takes the pad branch. Measured at 2^17 fully cold: the 8-size FRI
+        set compiles in 271 s on 6 workers (~56 executables, ~4.8 s each
+        amortized) vs ~20 s each serially. Gated by MINISTARK_PREWARM
+        (default on; near-free when warm — dispatches are async, results
+        never pulled)."""
+        import os as _os
+
+        if (self.mesh is not None
+                or _os.environ.get("MINISTARK_PREWARM", "1") != "1"
+                or jax.default_backend() not in ("tpu", "axon")):
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.config
+        base = cfg.stark_field.base
+        ext = cfg.stark_field.extension
+        kb, ke = self.kb, self.ke
+        sc = jnp.asarray(ke.pack_scalar(ext.from_int(3)))
+        size0 = cfg.blowup_factor * n
+        sizes = []
+        s = size0
+        while s >= DEVICE_MIN_SIZE:
+            sizes.append(s)
+            s //= 2
+        nq = cfg.fri_config.queries
+        w = trace.width
+        total = w + len(trace.transitions)
+        lde_n = cfg.blowup_factor * n
+
+        def warm_round(s):
+            half = jnp.zeros((s // 2,) + tuple(ke.elem_axes), dtype=jnp.uint32)
+            _deep_evals_jit(ke, half, sc)
+            _fold_div_jit(ke, half, sc, sc, sc, sc)
+            cw = self._ext_fft(half, s)
+            self._fri_round_tree(cw)
+
+        def warm_query(s):
+            # query-phase executables for this size (cold they cost as much
+            # as the round loop's: ~60-80 s per round pair, measured);
+            # submitted as a second wave so every round executable is
+            # in flight before the first query one
+            half = jnp.zeros((s // 2,) + tuple(ke.elem_axes), dtype=jnp.uint32)
+            cw = jnp.zeros((s,) + tuple(ke.elem_axes), dtype=jnp.uint32)
+            tree = self._fri_round_tree(cw)
+            cwn = jnp.zeros((s // 2,) + tuple(ke.elem_axes), dtype=jnp.uint32)
+            i1 = jnp.zeros((2 * nq,), jnp.int64)
+            i2 = jnp.zeros((nq,), jnp.int64)
+            reads = _gather_two_jit(cw, cwn, i1, i2)
+            scal = jnp.zeros((nq,) + tuple(ke.elem_axes), dtype=jnp.uint32)
+            _query_quotients_from_reads_jit(
+                ke, half, reads, scal, scal, scal, scal, scal
+            )
+            if tree.device_resident:
+                rows = _proof_rows_jit(ext, reads, nq)
+                tree.search_rows_async(rows)
+                tree.proofs_gather_async([0] * (2 * nq))
+
+        def warm_lde():
+            x = jnp.zeros((w, n) + tuple(kb.elem_axes), dtype=jnp.uint32)
+            self._ntt(n)[1](x)                                # trace ifft
+            padded = jnp.zeros((total, lde_n) + tuple(kb.elem_axes),
+                               dtype=jnp.uint32)
+            shift = jnp.asarray(kb.pack_scalar(base.from_int(3)))
+            self._ntt(lde_n)[2](padded, shift)                # coset LDE
+
+        def warm_mix_eval():
+            cols = jnp.zeros((total, n) + tuple(kb.elem_axes),
+                             dtype=jnp.uint32)
+            wts = jnp.zeros((total,) + tuple(kb.elem_axes), dtype=jnp.uint32)
+            mixed = mix_columns_jit(kb, cols, wts)
+            ext_arr = lift_base_array(ke, cols)
+            lift_base_array(ke, mixed)
+            _eval_many_jit(ke, ext_arr, sc)
+
+        def warm_trees():
+            if not self._device_hash_on():
+                return
+            for leaves in (n * w, lde_n * total):
+                PackedMerkleTree(
+                    base, None, cfg.merkle_config,
+                    device_vals=jnp.zeros(
+                        (leaves,) + tuple(kb.elem_axes), dtype=jnp.uint32
+                    ),
+                )
+
+        workers = int(_os.environ.get("MINISTARK_PREWARM_WORKERS", "8"))
+        pool = ThreadPoolExecutor(workers)
+        self._prewarm_pool = pool
+        for task in ([warm_lde, warm_mix_eval, warm_trees]
+                     + [(lambda s=s: warm_round(s)) for s in sizes]
+                     + [(lambda s=s: warm_query(s)) for s in sizes]):
+            pool.submit(task)
+
+    def _finish_prewarm(self):
+        if self._prewarm_pool is not None:
+            self._prewarm_pool.shutdown(wait=False)
+            self._prewarm_pool = None
+
     def _fri_prove(self, merlin: Merlin, poly_coeffs) -> "DeviceFriProof":
         """Hybrid FRI: device arrays for large rounds, host scalars for the
         geometric tail (< DEVICE_MIN_SIZE) — identical bytes either way."""
@@ -376,7 +496,8 @@ class DeviceEngine:
         # device rounds size geometrically: round r's coefficient array is
         # half of round r-1's, so the fold/divide/eval chain costs ~2 rounds'
         # work total (one executable per size; the persistent compile cache
-        # amortizes the per-shape compiles)
+        # amortizes the per-shape compiles, and _start_prewarm compiles the
+        # sizes concurrently during the first prove's earlier phases)
         rounds: List[_FriRoundRepr] = [self._make_round(poly_coeffs, size)]
         cur = rounds[0]
 

@@ -329,6 +329,36 @@ def kernel_rooflines(deadline=None):
         "value": round(best * 1e3, 2), "unit": "ms",
         "leaf_rows_per_s": round(2 * nb_ / best / 1e6, 2),  # Mrows/s
     })
+
+    if past_deadline('sha_tree'):
+        return results
+    # --- SHA-256 tree build A/B: Pallas VMEM compression vs the XLA
+    # path (digest-identical; commit/index_tree dispatches Pallas on TPU)
+    from ministark_tpu.commit.index_tree import _build_digests_xla
+    from ministark_tpu.ops import sha256_pallas as sp
+
+    nt = 1 << 21
+    comps = jnp.asarray(rng.integers(
+        0, 1 << 32, size=(nt, 4, 2), dtype=np.uint64).astype(np.uint32))
+
+    def chainable(build):
+        def body(u):
+            d = build(u)
+            return u.at[0, 0, 0].set(d[0, 0])  # digest-dependent feedback
+        return body
+
+    for name, build in (
+        ("sha_tree_pallas_2^21x4_arity4",
+         lambda u: sp.build_digests_tr(u, 4, interpret=False)),
+        ("sha_tree_xla_2^21x4_arity4",
+         lambda u: _build_digests_xla(u, 4)),
+    ):
+        if "pallas" in name and jax.default_backend() not in ("tpu", "axon"):
+            continue
+        t = _time_chained(chainable(build), comps, k1=2, k2=8)
+        results.append({
+            "metric": name, "value": round(t * 1e3, 2), "unit": "ms",
+        })
     return results
 
 

@@ -41,6 +41,17 @@ from ..ops.sha256 import (
 )
 
 
+def _build_digests_xla(comps, arity: int):
+    """The plain-XLA tree build (also the reference for the Pallas A/B)."""
+    levels = [binary_row_digests(comps)]
+    cur = levels[0]
+    while cur.shape[0] > 1:
+        f = min(arity, cur.shape[0])
+        cur = _inner_level(cur, f)
+        levels.append(cur)
+    return jnp.concatenate(levels, axis=0) if len(levels) > 1 else levels[0]
+
+
 @partial(jax.jit, static_argnums=1)
 def _build_digests(comps, arity: int):
     """(n, C, 2) u32 rows -> concatenated digest levels (leaves first,
@@ -55,13 +66,7 @@ def _build_digests(comps, arity: int):
     if sp.enabled() and comps.shape[0] % sp.MIN_LANES == 0 \
             and comps.shape[0] >= sp.MIN_LANES:
         return sp.build_digests_tr(comps, arity, interpret=not sp._on_tpu())
-    levels = [binary_row_digests(comps)]
-    cur = levels[0]
-    while cur.shape[0] > 1:
-        f = min(arity, cur.shape[0])
-        cur = _inner_level(cur, f)
-        levels.append(cur)
-    return jnp.concatenate(levels, axis=0) if len(levels) > 1 else levels[0]
+    return _build_digests_xla(comps, arity)
 
 
 _SHARDED_CACHE: dict = {}

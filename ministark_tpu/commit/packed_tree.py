@@ -161,14 +161,18 @@ class PackedMerkleTree:
                 )
 
                 shard_build = can_shard_tree(n, k, mesh.shape[mesh_axis])
+            # decimal-digit bound per component: 10 for u32 fields
+            # (BabyBear p < 2^31), 20 for u64 (Goldilocks) — the smaller
+            # ladder/placement loops make BB trees ~GL-cost instead of 3.7x
+            md = 10 if int(field.p) < (1 << 32) else 20
             if shard_build:
                 # multi-chip build: local leaf hashing + subtrees, one
                 # gather of subtree roots — digests identical to below
                 self._dev_digests = sharded_tree_digests(
-                    comps, k, self.fmt, mesh, mesh_axis
+                    comps, k, self.fmt, mesh, mesh_axis, max_digits=md
                 )
             else:
-                leaf_dig = leaf_hash_device_jit(comps, k, self.fmt)
+                leaf_dig = leaf_hash_device_jit(comps, k, self.fmt, md)
                 if group_num > 1:
                     upper = merkle_inner_levels_device(leaf_dig, c)
                     self._dev_digests = jnp.concatenate([leaf_dig, upper], axis=0)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .sha256 import sha256_blocks
-from .u32 import mul64_wide
+from .u32 import mul32_wide, mul64_wide
 
 U32 = jnp.uint32
 
@@ -36,21 +36,36 @@ _MAGIC_HI = jnp.uint32(0xCCCCCCCC)
 MAX_DIGITS = 20
 
 
-def u64_digits(lo, hi):
-    """(…,) u32 pairs -> (…, 20) digits, least-significant first, plus
-    (…,) digit-count lengths (>= 1)."""
+def u64_digits(lo, hi, max_digits: int = MAX_DIGITS):
+    """(…,) u32 pairs -> (…, max_digits) digits, least-significant first,
+    plus (…,) digit-count lengths (>= 1).
+
+    ``max_digits`` <= 10 switches to a u32-only ladder (valid when every
+    value fits u32 — e.g. BabyBear components < 2^31): half the steps at
+    ~a third the per-step cost of the 64-bit ladder, ~6x cheaper digit
+    extraction for the Fp4 decimal preimages (measured 3.7x slower BB FRI
+    trees vs GL before this — scripts/tpu_bb_vs_gl_probe.py)."""
     digits = []
-    for _ in range(MAX_DIGITS):
-        # q = floor(v / 10) = mulhi64(v, 0xCCCC...CD) >> 3
-        x0, x1, x2, x3 = mul64_wide(lo, hi, _MAGIC_LO, _MAGIC_HI)
-        q_lo = (x2 >> 3) | (x3 << 29)
-        q_hi = x3 >> 3
-        d = lo - q_lo * jnp.uint32(10)
-        digits.append(d)
-        lo, hi = q_lo, q_hi
-    dig = jnp.stack(digits, axis=-1)  # (…, 20) LSB first
+    if max_digits <= 10:
+        v = lo
+        for _ in range(max_digits):
+            # q = floor(v / 10) = mulhi32(v, 0xCCCCCCCD) >> 3
+            _, q = mul32_wide(v, _MAGIC_LO)
+            q = q >> 3
+            digits.append(v - q * jnp.uint32(10))
+            v = q
+    else:
+        for _ in range(max_digits):
+            # q = floor(v / 10) = mulhi64(v, 0xCCCC...CD) >> 3
+            x0, x1, x2, x3 = mul64_wide(lo, hi, _MAGIC_LO, _MAGIC_HI)
+            q_lo = (x2 >> 3) | (x3 << 29)
+            q_hi = x3 >> 3
+            d = lo - q_lo * jnp.uint32(10)
+            digits.append(d)
+            lo, hi = q_lo, q_hi
+    dig = jnp.stack(digits, axis=-1)  # (…, max_digits) LSB first
     nz = dig != 0
-    idx = jnp.arange(MAX_DIGITS, dtype=jnp.int32)
+    idx = jnp.arange(max_digits, dtype=jnp.int32)
     top = jnp.max(jnp.where(nz, idx + 1, 0), axis=-1)
     length = jnp.maximum(top, 1)
     return dig, length
@@ -76,17 +91,23 @@ def _group_segments(fmt: int, leafs_per_node: int):
     return segs
 
 
-def _max_group_bytes(fmt: int, leafs_per_node: int) -> int:
+def _max_group_bytes(fmt: int, leafs_per_node: int,
+                     max_digits: int = MAX_DIGITS) -> int:
     const_len = sum(len(v) for kind, v, _ in _group_segments(fmt, leafs_per_node)
                     if kind == "const")
     n_digit_segs = sum(1 for kind, _, _ in _group_segments(fmt, leafs_per_node)
                        if kind == "digits")
-    return const_len + n_digit_segs * MAX_DIGITS
+    return const_len + n_digit_segs * max_digits
 
 
-def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int):
+def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
+                     max_digits: int = MAX_DIGITS):
     """comps_u32: (n_elems, comps, 2) uint32 [lo, hi] component words.
-    Returns (n_groups, 8) uint32 digests (big-endian words)."""
+    Returns (n_groups, 8) uint32 digests (big-endian words).
+
+    ``max_digits``: decimal-digit bound per component — 20 for u64 fields
+    (Goldilocks), 10 for u32 fields (BabyBear: p < 2^31). Smaller bounds
+    shrink the digit ladder, the placement loops AND the preimage buffer."""
     comps = {0: 1, 1: 2, 2: 4}[fmt]
     n_elems = comps_u32.shape[0]
     assert n_elems % leafs_per_node == 0
@@ -96,10 +117,10 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int):
     # digits per (group, elem-in-group, comp)
     lo = comps_u32[..., 0].reshape(n_groups, k, comps)
     hi = comps_u32[..., 1].reshape(n_groups, k, comps)
-    dig, dlen = u64_digits(lo, hi)          # (g, k, comps, 20), (g, k, comps)
+    dig, dlen = u64_digits(lo, hi, max_digits)  # (g,k,c,md), (g,k,c)
 
     segs = _group_segments(fmt, k)
-    B = _max_group_bytes(fmt, k)
+    B = _max_group_bytes(fmt, k, max_digits)
     nseg = len(segs)
 
     # per-segment lengths -> (g, nseg)
@@ -129,7 +150,7 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int):
         else:
             # digit chars MSB-first: digit index = len-1-off (LSB-first store)
             didx = ln - 1 - off                             # (g, B)
-            for j in range(MAX_DIGITS):
+            for j in range(max_digits):
                 d_j = dig[:, e, v, j].astype(jnp.uint8) + jnp.uint8(48)
                 out = jnp.where(inseg & (didx == j), d_j[:, None], out)
 
@@ -160,4 +181,4 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int):
     return sha256_blocks(words, active)
 
 
-leaf_hash_device_jit = jax.jit(leaf_hash_device, static_argnums=(1, 2))
+leaf_hash_device_jit = jax.jit(leaf_hash_device, static_argnums=(1, 2, 3))

@@ -40,13 +40,14 @@ _CLOSURE_CACHE: dict = {}
 
 
 def _make_builder(n_elems: int, comps: int, leafs_per_node: int, fmt: int,
-                  mesh: Mesh, axis: str):
+                  mesh: Mesh, axis: str, max_digits: int = 20):
     n_dev = mesh.shape[axis]
     g_loc = (n_elems // leafs_per_node) // n_dev
 
     def body(comps_local):
         # comps_local: (n_elems/D, comps, 2) — whole leaf groups per shard
-        levels = [leaf_hash_device(comps_local, leafs_per_node, fmt)]
+        levels = [leaf_hash_device(comps_local, leafs_per_node, fmt,
+                                   max_digits)]
         while levels[-1].shape[0] > 1:
             levels.append(merkle_inner_level2(levels[-1]))
         return tuple(levels)
@@ -79,14 +80,15 @@ def _make_builder(n_elems: int, comps: int, leafs_per_node: int, fmt: int,
 
 
 def sharded_tree_digests(comps, leafs_per_node: int, fmt: int, mesh: Mesh,
-                         axis: str = "shards"):
+                         axis: str = "shards", max_digits: int = 20):
     """comps: (n_elems, comps, 2) u32 [lo, hi] component array (global).
     Returns ALL level digests concatenated (leaf level first, root last) as a
     (2 * n_groups - 1, 8) u32 global array — same layout as
     leaf_hash_device_jit + merkle_inner_levels_device."""
-    key = (comps.shape, leafs_per_node, fmt, mesh, axis)
+    key = (comps.shape, leafs_per_node, fmt, mesh, axis, max_digits)
     if key not in _CLOSURE_CACHE:
         _CLOSURE_CACHE[key] = _make_builder(
-            comps.shape[0], comps.shape[1], leafs_per_node, fmt, mesh, axis
+            comps.shape[0], comps.shape[1], leafs_per_node, fmt, mesh, axis,
+            max_digits
         )
     return _CLOSURE_CACHE[key](comps)

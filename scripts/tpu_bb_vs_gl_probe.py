@@ -76,11 +76,30 @@ def main():
             dtype=np.uint64).astype(np.uint32))
         sc = jnp.asarray(ke.pack_scalar(sf.extension.from_int(3)))
 
-        t_fft = slope(lambda v: eng._ext_fft(v, n), half)
-        print(f"{sf.name}: ext codeword NTT 2^21: {t_fft*1e3:.2f} ms")
+        # raw component-batched base NTT at the engine's codeword shape
+        # (BB/Fp4: 4 u32 components; GL/Fp2: 2 components x 2 limbs) —
+        # created OUTSIDE the chain so the device twiddle tables exist
+        # before tracing (lazy creation inside a jit leaks tracers)
+        from ministark_tpu.ops.ntt_device import get_ntt_fns
 
-        t_fold = slope(lambda v: _fold_div_jit(ke, v, sc, sc, sc, sc), half)
-        print(f"{sf.name}: fold+divide (coeffs 2^20): {t_fold*1e3:.2f} ms")
+        fft = get_ntt_fns(sf.base, n)[0]
+        d = 4 if ke.elem_axes == (4,) else 2
+        comp_shape = ((d, n) if ke.elem_axes == (4,) else (d, n, 2))
+        comp = jnp.asarray(rng.integers(
+            0, 1 << 30, size=comp_shape, dtype=np.uint64).astype(np.uint32))
+        fft(comp).block_until_ready()
+        t_fft = slope(fft, comp)
+        print(f"{sf.name}: codeword NTT 2^21 x{d} components: "
+              f"{t_fft*1e3:.2f} ms", flush=True)
+
+        def fold_body(v):
+            out = _fold_div_jit(ke, v, sc, sc, sc, sc)
+            return jnp.concatenate([out, out], axis=0)
+
+        _fold_div_jit(ke, half, sc, sc, sc, sc)  # create/warm outside chain
+        t_fold = slope(fold_body, half)
+        print(f"{sf.name}: fold+divide coeffs 2^20 (+dup): {t_fold*1e3:.2f} ms",
+              flush=True)
 
         # tree build: wall (one shot, warm twice) — the tree constructor
         # has host-side assembly, so slope-chaining doesn't apply

@@ -86,3 +86,30 @@ def test_leaf_hash_matches_native_engine():
     dev = digests_to_bytes(leaf_hash_device_jit(_comps_u32(pairs), 2, 1))
     nat = native.leaf_hash_batch(pairs, 2, 1)
     assert np.array_equal(dev, nat)
+
+
+def test_fp4_digits10_matches_digits20():
+    """BabyBear components (< 2^31) hash identically with the 10-digit
+    u32 ladder and the generic 20-digit u64 ladder (packed_tree passes
+    max_digits=10 for u32 fields)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2013265921, size=(8, 4), dtype=np.uint64)
+    comps = np.stack([(vals & 0xFFFFFFFF).astype(np.uint32),
+                      (vals >> 32).astype(np.uint32)], axis=-1)
+    a = digests_to_bytes(leaf_hash_device_jit(comps, 2, 2, 10))
+    b = digests_to_bytes(leaf_hash_device_jit(comps, 2, 2, 20))
+    assert a.tobytes() == b.tobytes()
+
+
+def test_base_digits10_matches_digits20():
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 2013265921, size=(8, 1), dtype=np.uint64)
+    comps = np.stack([(vals & 0xFFFFFFFF).astype(np.uint32),
+                      (vals >> 32).astype(np.uint32)], axis=-1)
+    a = digests_to_bytes(leaf_hash_device_jit(comps, 2, 0, 10))
+    b = digests_to_bytes(leaf_hash_device_jit(comps, 2, 0, 20))
+    assert a.tobytes() == b.tobytes()

@@ -283,9 +283,12 @@ class FastStark:
 
         tr.absorb(fp.group_roots[0])
         r = tr.challenge_scalar(ext)
-        stacked = np.stack([np.asarray(cc) for cc in constrain_list])
+        # keep the constraint arrays device-resident: np-stacking them here
+        # round-trips ~200 MB through the tunnel at 2^20 (the out-of-band
+        # Constrains usually come straight from _constraint_polys on device)
+        stacked = jnp.stack([jnp.asarray(cc) for cc in constrain_list])
         ext_coeffs = lift_base_array(
-            ke, jnp.asarray(stacked.reshape((B * total,) + stacked.shape[2:]))
+            ke, stacked.reshape((B * total,) + tuple(stacked.shape[2:]))
         )
         r_pows = [ext.pow(r, i) for i in range(total)]
 

@@ -59,6 +59,10 @@ def _device_trace(sf, steps):
         from ministark_tpu.models.lfsr import lfsr_device_trace
 
         return lfsr_device_trace(sf, steps)
+    if model == "mimc":
+        from ministark_tpu.models.mimc import mimc_device_trace
+
+        return mimc_device_trace(sf, steps)
     from ministark_tpu.models.fibonacci_device import fibonacci_device_trace
 
     return fibonacci_device_trace(sf, steps, on_device=on_dev)
@@ -75,6 +79,16 @@ def _host_claim(base, steps):
         from ministark_tpu.models.lfsr import LfsrClaim
 
         return LfsrClaim(field=base, steps=steps), None
+    if model == "mimc":
+        from ministark_tpu.models.mimc import (
+            MimcClaim,
+            MimcWitness,
+            mimc_chain_output,
+        )
+
+        out = mimc_chain_output(base.p, steps, 3)
+        return (MimcClaim(field=base, steps=steps, output=out),
+                MimcWitness(s0=3))
     from ministark_tpu.models import FibonacciClaim, Witness
 
     return (FibonacciClaim(field=base, step=steps, output=base.from_int(13)),
@@ -361,6 +375,7 @@ def orchestrate():
                     ("whir_e2e_prove", steps, {"BENCH_MODE": "whir"}),
                     ("babybear_e2e_prove_2^20", str((1 << 20) - 1),
                      {"BENCH_FIELD": "babybear"}),
+                    ("mimc_e2e_prove", steps, {"BENCH_MODEL": "mimc"}),
                     ("fast_e2e_prove_2^22", str((1 << 22) - 1),
                      {"BENCH_MODE": "fast"}),
                     ("fast_prove_many_batch4", steps,

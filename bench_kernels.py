@@ -40,7 +40,13 @@ HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))
 def _time_chained(fn, x, k1=8, k2=40):
     """Marginal per-iteration device time of x -> fn(x) by slope (two
     static-trip-count executables; a dynamic trip count wedges this
-    environment's remote-compile service)."""
+    environment's remote-compile service).
+
+    Returns None when the slope stays non-positive after a retry — the
+    tunnel's dispatch latency occasionally spikes during one of the two
+    measurements and a negative slope clamped to epsilon once printed a
+    67-million-GB/s hbm_stream entry; a dropped entry beats an absurd
+    one."""
     import jax.lax as lax
 
     body = lambda i, u: lax.optimization_barrier(fn(u))
@@ -56,7 +62,13 @@ def _time_chained(fn, x, k1=8, k2=40):
             best = min(best, time.time() - t0)
         return best
 
-    return max((timed(k2) - timed(k1)) / (k2 - k1), 1e-9)
+    for _attempt in range(2):
+        slope = (timed(k2) - timed(k1)) / (k2 - k1)
+        if slope > 0:
+            return slope
+        print("# non-positive slope (tunnel latency spike); retrying",
+              file=sys.stderr)
+    return None
 
 
 def kernel_rooflines(deadline=None):
@@ -86,10 +98,11 @@ def kernel_rooflines(deadline=None):
     n = 1 << 22
     a = jnp.asarray(gl.pack(rng.integers(0, 1 << 62, size=n, dtype=np.uint64)))
     t = _time_chained(lambda v: gl.mul(v, a), a)
-    results.append({
-        "metric": "gl_mul_throughput", "value": round(n / t / 1e9, 2),
-        "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
-    })
+    if t is not None:
+        results.append({
+            "metric": "gl_mul_throughput", "value": round(n / t / 1e9, 2),
+            "unit": "Gop/s",  # VPU-bound at this size; no roofline fraction
+        })
 
     if past_deadline('hbm_stream'):
         return results
@@ -108,10 +121,11 @@ def kernel_rooflines(deadline=None):
         return v + v.sum()
 
     t = _time_chained(stream, st)
-    results.append({
-        "metric": "hbm_stream",
-        "value": round(4 * ns / t / 1e9, 0), "unit": "GB/s",  # read rate
-    })
+    if t is not None:
+        results.append({
+            "metric": "hbm_stream",
+            "value": round(4 * ns / t / 1e9, 0), "unit": "GB/s",  # read rate
+        })
 
     if past_deadline('planar mul calibration'):
         return results
@@ -131,19 +145,21 @@ def kernel_rooflines(deadline=None):
         rng.integers(0, 1 << 31, size=(4, mpl // 1024, 1024), dtype=np.uint64)
     ).astype(jnp.uint32)
     t = _time_chained(lambda v: pc2.mul(v, pl), pl)
-    results.append({
-        "metric": "fp2_mul_planar_throughput",
-        "value": round(mpl / t / 1e9, 2),
-        "unit": "Gext/s",  # 1 ext mul = 3 base muls (Karatsuba)
-    })
+    if t is not None:
+        results.append({
+            "metric": "fp2_mul_planar_throughput",
+            "value": round(mpl / t / 1e9, 2),
+            "unit": "Gext/s",  # 1 ext mul = 3 base muls (Karatsuba)
+        })
     pcb = get_planar(get_kernels(GOLDILOCKS_FP))
     plb = pl[:2]  # (2, rows, 1024)
     t = _time_chained(lambda v: pcb.mul(v, plb), plb)
-    results.append({
-        "metric": "gl_mul_planar_throughput",
-        "value": round(mpl / t / 1e9, 2),
-        "unit": "Gop/s",
-    })
+    if t is not None:
+        results.append({
+            "metric": "gl_mul_planar_throughput",
+            "value": round(mpl / t / 1e9, 2),
+            "unit": "Gop/s",
+        })
 
     if past_deadline('mxu_s8_matmul'):
         return results
@@ -166,11 +182,12 @@ def kernel_rooflines(deadline=None):
             return (y & 127).astype(jnp.int8)
 
         t = _time_chained(s8dot, a8)
-        results.append({
-            "metric": "mxu_s8_matmul_4096",
-            "value": round(dm**3 / t / 1e12, 1),
-            "unit": "TMAC/s",
-        })
+        if t is not None:
+            results.append({
+                "metric": "mxu_s8_matmul_4096",
+                "value": round(dm**3 / t / 1e12, 1),
+                "unit": "TMAC/s",
+            })
 
     if past_deadline('gl_ntt'):
         return results
@@ -185,11 +202,12 @@ def kernel_rooflines(deadline=None):
         # roofline model: ~4 read+write passes of the array (prep, two
         # matmul levels' operands, finish) = 64 B/element
         bytes_moved = batch * m * 8 * 8
-        results.append({
-            "metric": f"gl_ntt_2^{logn}_batch{batch}",
-            "value": round(t * 1e3, 2), "unit": "ms",
-            "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
-        })
+        if t is not None:
+            results.append({
+                "metric": f"gl_ntt_2^{logn}_batch{batch}",
+                "value": round(t * 1e3, 2), "unit": "ms",
+                "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+            })
 
     if past_deadline('gl_ntt_fused'):
         return results
@@ -227,22 +245,24 @@ def kernel_rooflines(deadline=None):
                     "XLA MXU NTT mismatch vs independent oracle"
                 bytes_moved = 2 * m * 8 * 8
                 t = _time_chained(fns[0], x)
-                results.append({
-                    "metric": f"gl_ntt_fused_2^{logn}_batch2",
-                    "value": round(t * 1e3, 2), "unit": "ms",
-                    "roofline_frac": round(
-                        bytes_moved / t / (HBM_GBPS * 1e9), 3),
-                })
+                if t is not None:
+                    results.append({
+                        "metric": f"gl_ntt_fused_2^{logn}_batch2",
+                        "value": round(t * 1e3, 2), "unit": "ms",
+                        "roofline_frac": round(
+                            bytes_moved / t / (HBM_GBPS * 1e9), 3),
+                    })
                 # true A/B: the non-fused XLA-lowered MXU path, TIMED (the
                 # fused-vs-XLA comparison is driver-visible, not just a
                 # bit-check)
                 t2 = _time_chained(xla_fns[0], x)
-                results.append({
-                    "metric": f"gl_ntt_xla_2^{logn}_batch2",
-                    "value": round(t2 * 1e3, 2), "unit": "ms",
-                    "roofline_frac": round(
-                        bytes_moved / t2 / (HBM_GBPS * 1e9), 3),
-                })
+                if t2 is not None:
+                    results.append({
+                        "metric": f"gl_ntt_xla_2^{logn}_batch2",
+                        "value": round(t2 * 1e3, 2), "unit": "ms",
+                        "roofline_frac": round(
+                            bytes_moved / t2 / (HBM_GBPS * 1e9), 3),
+                    })
             except Exception as e:  # Mosaic may reject until validated
                 print(f"# fused NTT 2^{logn} failed: {e}", file=sys.stderr)
 
@@ -280,11 +300,12 @@ def kernel_rooflines(deadline=None):
     # (16 B each). The true binding resource is the VPU field-mul rate —
     # see BENCHMARKS.md "speed of light" for the recomputable bound.
     bytes_moved = m * 16 + (m // 2) * 16
-    results.append({
-        "metric": "fri_fold_div_2^21_fp2", "value": round(t * 1e3, 2),
-        "unit": "ms",
-        "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
-    })
+    if t is not None:
+        results.append({
+            "metric": "fri_fold_div_2^21_fp2", "value": round(t * 1e3, 2),
+            "unit": "ms",
+            "roofline_frac": round(bytes_moved / t / (HBM_GBPS * 1e9), 3),
+        })
 
     if past_deadline('fri_fold_div_chain'):
         return results
@@ -299,10 +320,11 @@ def kernel_rooflines(deadline=None):
         return ke.add(c, jnp.broadcast_to(cur[0:1], c.shape))
 
     t = _time_chained(fold_div_chain, coeffs)
-    results.append({
-        "metric": "fri_fold_div_chain_2^21_to_2^12",
-        "value": round(t * 1e3, 2), "unit": "ms",
-    })
+    if t is not None:
+        results.append({
+            "metric": "fri_fold_div_chain_2^21_to_2^12",
+            "value": round(t * 1e3, 2), "unit": "ms",
+        })
 
     if past_deadline('batched_commit'):
         return results
@@ -356,9 +378,10 @@ def kernel_rooflines(deadline=None):
         if "pallas" in name and jax.default_backend() not in ("tpu", "axon"):
             continue
         t = _time_chained(chainable(build), comps, k1=2, k2=8)
-        results.append({
-            "metric": name, "value": round(t * 1e3, 2), "unit": "ms",
-        })
+        if t is not None:
+            results.append({
+                "metric": name, "value": round(t * 1e3, 2), "unit": "ms",
+            })
     return results
 
 

@@ -352,6 +352,30 @@ def kernel_rooflines(deadline=None):
         "leaf_rows_per_s": round(2 * nb_ / best / 1e6, 2),  # Mrows/s
     })
 
+    # device time by SLOPE: the naive number above includes ~26-40 ms of
+    # tunnel dispatch RTT (round-4 probe scripts/tpu_commit_breakdown.py:
+    # 43.6 ms naive vs 17.4 ms chained device body = FFT 8.4 + coset-row
+    # transpose 0.9 + tree 8.3) — every other kernel entry is slope-timed,
+    # so this is the comparable one
+    from ministark_tpu.fri.batched import _rows_tree_jit
+
+    limbed_ = bfri._limbed()
+    Nn_ = 2 * nb_
+
+    def commit_body(p):
+        ev = bfri._fft_batched(p, Nn_)
+        r = bfri._coset_rows(ev, 4)
+        _, d = _rows_tree_jit(limbed_, 4, r)
+        return p.at[0, 0, 0, 0].set(d[0, 0])
+
+    t = _time_chained(commit_body, polys, k1=2, k2=6)
+    if t is not None:
+        results.append({
+            "metric": "batched_commit_dev_2^20_b4_arity4",
+            "value": round(t * 1e3, 2), "unit": "ms",
+            "leaf_rows_per_s": round(2 * nb_ / t / 1e6, 2),
+        })
+
     if past_deadline('sha_tree'):
         return results
     # --- SHA-256 tree build A/B: Pallas VMEM compression vs the XLA

@@ -178,6 +178,21 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
     w = out.reshape(n_groups, max_blocks, 16, 4).astype(jnp.uint32)
     words = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
     active = jnp.arange(max_blocks, dtype=jnp.int32)[None, :] <= last_block[:, None]
+
+    # wide batches take the Pallas VMEM compression (digest-identical; the
+    # XLA path streams a (64, lanes) schedule buffer through HBM per block
+    # — the masked variant of the same hardware-validated kernel as the
+    # binary row hash). Gate read at TRACE time like index_tree.
+    from . import sha256_pallas as sp
+
+    if sp.enabled() and n_groups % sp.MIN_LANES == 0 \
+            and n_groups >= sp.MIN_LANES:
+        digests_t = sp.sha256_masked_tr(
+            words.reshape(n_groups, -1).T,
+            active.astype(jnp.uint32).T,
+            interpret=not sp._on_tpu(),
+        )
+        return digests_t.T
     return sha256_blocks(words, active)
 
 

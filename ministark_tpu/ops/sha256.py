@@ -136,11 +136,28 @@ def _inner_levels_fused(leaf_digests, fan_in: int):
     time over static shapes — one dispatch for the whole tree instead of one
     jit + dispatch per level size). Levels narrower than the fan-in fold
     with whatever remains (a 2^21-leaf 4-ary tree ends with a fan-in-2
-    level)."""
+    level).
+
+    Wide levels take the Pallas VMEM compression (sha256_pallas
+    inner_level_tr — bit-identical digests, ~3x over the XLA path on TPU,
+    hardware-validated for fan 2/4/8 by scripts/tpu_sha_probe.py); levels
+    narrower than a lane tile stay on XLA. The MINISTARK_SHA_PALLAS gate is
+    read at TRACE time, like commit/index_tree._build_digests."""
+    from . import sha256_pallas as sp
+
+    use_pallas = sp.enabled()
     levels = []
     cur = leaf_digests
+    cur_t = None  # transposed (8, n) form carried between Pallas levels
     while cur.shape[0] > 1:
-        cur = _inner_level(cur, min(fan_in, cur.shape[0]))
+        f = min(fan_in, cur.shape[0])
+        if use_pallas and cur.shape[0] >= sp.MIN_LANES * f:
+            cur_t = cur.T if cur_t is None else cur_t
+            cur_t = sp.inner_level_tr(cur_t, f, interpret=not sp._on_tpu())
+            cur = cur_t.T
+        else:
+            cur = _inner_level(cur, f)
+            cur_t = None
         levels.append(cur)
     return jnp.concatenate(levels, axis=0)
 

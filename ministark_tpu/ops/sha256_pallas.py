@@ -62,12 +62,14 @@ def _rotr(x, n: int):
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
 
 
-def _compress(s_ref, w_ref, k_ref):
+def _compress(s_ref, w_ref, k_ref, mask=None):
     """One SHA-256 block over (SUB, 128) u32 tiles, in place on s_ref
     (the (16, SUB, 128) state scratch: rows 0-7 = running state a..h,
     rows 8-15 = the block-entry snapshot). w_ref: (64, SUB, 128) scratch
     whose first 16 rows hold the message words; k_ref: the (64,) round
-    constants in SMEM.
+    constants in SMEM. ``mask``: optional (SUB, 128) bool tile — lanes
+    where it is False keep their block-entry state (per-lane variable
+    message lengths, matching sha256_blocks' ``active`` semantics).
 
     Both loops carry only a scalar — vector loop carries whose init is a
     splat constant get a REPLICATED Mosaic layout that the body's computed
@@ -102,6 +104,8 @@ def _compress(s_ref, w_ref, k_ref):
     jax.lax.fori_loop(0, 64, rnd, 0)
     for i in range(8):  # feed-forward: state += block-entry snapshot
         v = s_ref[i] + s_ref[8 + i]
+        if mask is not None:
+            v = jnp.where(mask, v, s_ref[8 + i])
         s_ref[i] = v
         s_ref[8 + i] = v
 
@@ -153,6 +157,57 @@ def sha256_tr(words_t, n_blocks: int, tail, interpret: bool):
                         pltpu.VMEM((16, SUB, 128), jnp.uint32)],
         interpret=interpret,
     )(jnp.asarray(_K), wt)
+    return out.reshape(8, L)
+
+
+def _make_masked_kernel(n_blocks: int):
+    """Per-lane variable-length messages: every lane carries ``n_blocks``
+    padded blocks plus an active mask; inactive blocks leave the lane's
+    state untouched (the parity leaf hash, ops/leaf_hash.py)."""
+
+    def kernel(k_ref, msg_ref, act_ref, out_ref, w_ref, s_ref):
+        shape = (SUB, 128)
+        for i, h in enumerate(_H0):
+            init = jnp.full(shape, np.uint32(h), jnp.uint32)
+            s_ref[i] = init
+            s_ref[8 + i] = init
+        for blk in range(n_blocks):
+            for j in range(16):
+                w_ref[j] = msg_ref[blk * 16 + j]
+            _compress(s_ref, w_ref, k_ref, mask=act_ref[blk] != 0)
+        for i in range(8):
+            out_ref[i] = s_ref[i]
+
+    return kernel
+
+
+def sha256_masked_tr(words_t, active_t, interpret: bool):
+    """words_t: (n_blocks*16, L) u32 big-endian padded message words,
+    messages in COLUMNS; active_t: (n_blocks, L) u32 (nonzero = the lane
+    processes that block). L % MIN_LANES == 0. Returns (8, L) digests,
+    transposed. Digest-equal to ops/sha256.sha256_blocks(words, active)."""
+    n_words, L = words_t.shape
+    assert n_words % 16 == 0 and L % MIN_LANES == 0
+    n_blocks = n_words // 16
+    wt = words_t.reshape(n_words, L // 128, 128)
+    at = active_t.reshape(n_blocks, L // 128, 128)
+    out = pl.pallas_call(
+        _make_masked_kernel(n_blocks),
+        out_shape=jax.ShapeDtypeStruct((8, L // 128, 128), jnp.uint32),
+        grid=(L // MIN_LANES,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # round constants
+            pl.BlockSpec((n_words, SUB, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, SUB, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, SUB, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((64, SUB, 128), jnp.uint32),
+                        pltpu.VMEM((16, SUB, 128), jnp.uint32)],
+        interpret=interpret,
+    )(jnp.asarray(_K), wt, at)
     return out.reshape(8, L)
 
 

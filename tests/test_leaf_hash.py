@@ -113,3 +113,45 @@ def test_base_digits10_matches_digits20():
     a = digests_to_bytes(leaf_hash_device_jit(comps, 2, 0, 10))
     b = digests_to_bytes(leaf_hash_device_jit(comps, 2, 0, 20))
     assert a.tobytes() == b.tobytes()
+
+
+def test_leaf_hash_pallas_masked_matches_xla(monkeypatch):
+    """The Pallas masked-compression path (MINISTARK_SHA_PALLAS=1, wide
+    batches) is digest-identical to the XLA sha256_blocks path for the
+    variable-length decimal preimages."""
+    from ministark_tpu.ops import sha256_pallas as sp
+    from ministark_tpu.ops.leaf_hash import leaf_hash_device
+
+    n = sp.MIN_LANES * 2  # groups; k=2 elements per group, fmt 1 (GL Fp2)
+    vals = rng.integers(0, GOLDILOCKS_FP.p, size=(2 * n, 2), dtype=np.uint64)
+    lo = (vals & 0xFFFFFFFF).astype(np.uint32)
+    hi = (vals >> 32).astype(np.uint32)
+    comps = jnp.asarray(np.stack([lo, hi], axis=-1))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "0")
+    want = np.asarray(leaf_hash_device(comps, 2, 1))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "1")
+    got = np.asarray(leaf_hash_device(comps, 2, 1))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
+def test_leaf_hash_pallas_masked_bb_fmt2(monkeypatch):
+    """Same for the BabyBear Fp4 format (10-digit ladder, 4 components,
+    more active-block variance)."""
+    from ministark_tpu.ops import sha256_pallas as sp
+    from ministark_tpu.ops.leaf_hash import leaf_hash_device
+
+    p = 2013265921
+    n = sp.MIN_LANES  # groups; k=2, fmt 2
+    vals = rng.integers(0, p, size=(2 * n, 4), dtype=np.uint64)
+    # force some short digit strings for mask variance
+    vals[: n // 4] %= 10
+    lo = (vals & 0xFFFFFFFF).astype(np.uint32)
+    hi = (vals >> 32).astype(np.uint32)
+    comps = jnp.asarray(np.stack([lo, hi], axis=-1))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "0")
+    want = np.asarray(leaf_hash_device(comps, 2, 2, 10))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "1")
+    got = np.asarray(leaf_hash_device(comps, 2, 2, 10))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)

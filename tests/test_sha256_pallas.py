@@ -88,3 +88,32 @@ def test_dispatcher_env_gate(monkeypatch):
     monkeypatch.setenv("MINISTARK_SHA_PALLAS", "0")
     _build_digests.clear_cache()
     assert np.array_equal(got, want)
+
+
+def test_inner_levels_fused_pallas_matches_xla(monkeypatch):
+    """merkle_inner_levels_device (the PARITY trees' upper-level builder)
+    takes the pallas path for wide levels under MINISTARK_SHA_PALLAS=1 and
+    produces byte-identical levels to the XLA path."""
+    from ministark_tpu.ops.sha256 import (
+        _inner_levels_fused,
+        merkle_inner_levels_device,
+    )
+
+    rng = np.random.default_rng(11)
+    # fan 2 with two pallas-wide levels (8192 -> 4096 -> 2048) before the
+    # narrow XLA tail — the parity-tree configuration (inner_children = 2)
+    import jax.numpy as jnp
+
+    dig = jnp.asarray(rng.integers(
+        0, 1 << 32, size=(4 * sp.MIN_LANES, 8), dtype=np.uint64
+    ).astype(np.uint32))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "0")
+    _inner_levels_fused.clear_cache()  # env is read at trace time
+    want = np.asarray(merkle_inner_levels_device(dig, 2))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "1")
+    _inner_levels_fused.clear_cache()
+    got = np.asarray(merkle_inner_levels_device(dig, 2))
+    monkeypatch.setenv("MINISTARK_SHA_PALLAS", "0")
+    _inner_levels_fused.clear_cache()
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)

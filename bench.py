@@ -321,17 +321,45 @@ def _sub_entry(here: str, steps: str, budget: int = 900, label: str = "",
     return entry
 
 
+def _emit(data):
+    """Print the CURRENT best snapshot as one complete JSON line and flush.
+
+    The driver parses the LAST parseable line on stdout, so re-emitting a
+    progressively richer snapshot after every completed measurement means a
+    kill at ANY point loses only the in-flight entry — round 4 died with
+    rc=124 before the single end-of-run print and shipped nothing."""
+    sys.stdout.write(json.dumps(data) + "\n")
+    sys.stdout.flush()
+
+
 def orchestrate():
     """Run the measurement in subprocesses with retries: the environment's
     remote-compile service intermittently wedges for many minutes; a killed
     attempt loses little because compiled executables persist in .jax_cache.
-    Falls back to a smaller trace if the full size keeps failing."""
+    Falls back to a smaller trace if the full size keeps failing.
+
+    JSON-unloseable discipline (VERDICT r4 item 1): the headline prints the
+    moment attempt 1 succeeds; every side entry re-prints the enriched
+    snapshot; all budgets are clamped to the global deadline with a final
+    reserve; SIGTERM re-emits the last snapshot before dying."""
+    import signal
     import subprocess
 
     here = os.path.abspath(__file__)
     # global deadline: the side entries (fast/stir/babybear) are optional —
-    # never let them push the FINAL JSON print past the driver's patience
-    deadline = time.time() + int(os.environ.get("BENCH_TOTAL_BUDGET", "3300"))
+    # never let them push a JSON print past the driver's patience. Round 4's
+    # rc=124 proves the driver window is below the old 3300 s plan + probe.
+    reserve = 45
+    deadline = time.time() + int(os.environ.get("BENCH_TOTAL_BUDGET", "3000"))
+    snapshot = {}
+
+    def _on_term(signum, frame):  # driver timeout sends SIGTERM first
+        if snapshot:
+            _emit(snapshot)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     # if the tunnel is down, wait it out (up to ~20 min) before burning
     # measurement budgets on hung subprocesses
     for _ in range(10):
@@ -339,16 +367,21 @@ def orchestrate():
             break
         print("# TPU tunnel unresponsive; waiting 120s", file=sys.stderr)
         time.sleep(120)
-    # first attempt gets the lion's share: a fully cold host pays ~20 min
-    # of remote compiles for the geometric FRI executables alone (measured
-    # cold prove 1239 s round 4) and every compile persists in .jax_cache,
-    # so even a timed-out first attempt leaves attempt 2 nearly warm
+    # first attempt gets the lion's share: a fully cold host pays many
+    # minutes of remote compiles for the geometric FRI executables alone
+    # (444.75 s cold prove in the r04 tail) and every compile persists in
+    # .jax_cache, so even a timed-out first attempt leaves attempt 2 warm
     tries = [
-        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 3000),
-        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 1500),
-        (str((1 << 17) - 1), 1200),
+        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 1800),
+        (os.environ.get("BENCH_STEPS", str((1 << 20) - 1)), 900),
+        (str((1 << 17) - 1), 600),
     ]
+    data = None
+    cold_host = False
     for steps, budget in tries:
+        budget = min(budget, int(deadline - time.time() - reserve))
+        if budget < 180:
+            break
         env = dict(os.environ, BENCH_INNER="1", BENCH_STEPS=steps,
                    BENCH_INNER_DEADLINE=str(time.time() + budget - 90))
         try:
@@ -361,46 +394,63 @@ def orchestrate():
                   file=sys.stderr)
             continue
         sys.stderr.write(proc.stderr)
+        # cold-host detection: the host-scoped cache means the driver's
+        # machine is usually fully cold; a long cold prove caps the side list
+        for line in proc.stderr.splitlines():
+            if line.startswith("# cold prove"):
+                try:
+                    cold_host = float(line.split()[3].rstrip("s")) > 300
+                except (IndexError, ValueError):
+                    pass
         json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode == 0 and json_lines:
             data = json.loads(json_lines[-1])
-            if os.environ.get("BENCH_MODE") not in ("fast", "stir", "whir"):
-                # side entries in priority order; each guarded by the global
-                # deadline (compiled executables persist in .jax_cache, so
-                # pre-warmed configs cost ~1-2 min each, cold ones ~4 min)
-                side = [
-                    # (kernels key, steps, extra env)
-                    ("fast_e2e_prove", steps, {"BENCH_MODE": "fast"}),
-                    ("stir_e2e_prove", steps, {"BENCH_MODE": "stir"}),
-                    ("whir_e2e_prove", steps, {"BENCH_MODE": "whir"}),
-                    ("babybear_e2e_prove_2^20", str((1 << 20) - 1),
-                     {"BENCH_FIELD": "babybear"}),
-                    ("mimc_e2e_prove", steps, {"BENCH_MODEL": "mimc"}),
-                    ("fast_e2e_prove_2^22", str((1 << 22) - 1),
-                     {"BENCH_MODE": "fast"}),
-                    ("fast_prove_many_batch4", steps,
-                     {"BENCH_MODE": "fast", "BENCH_BATCH": "4"}),
-                ]
-                if os.environ.get("BENCH_FIELD", "goldilocks") != "goldilocks":
-                    side = [s for s in side if "babybear" not in s[0]]
-                for key, ssteps, extra in side:
-                    left = int(deadline - time.time())
-                    if left < 240:
-                        print(f"# skipping {key} entry: {left}s budget left",
-                              file=sys.stderr)
-                        continue
-                    e = _sub_entry(here, ssteps, budget=min(1200, left),
-                                   label=key, **extra)
-                    if e is not None:
-                        data.setdefault("kernels", {})[key] = e
-            print(json.dumps(data))
-            return 0
+            break
         print(f"# bench attempt failed rc={proc.returncode}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "e2e_prove_rows_per_s", "value": 0.0,
-        "unit": "rows/s", "vs_baseline": 0.0,
-    }))
-    return 1
+    if data is None:
+        _emit({"metric": "e2e_prove_rows_per_s", "value": 0.0,
+               "unit": "rows/s", "vs_baseline": 0.0})
+        return 1
+    snapshot.update(data)
+    _emit(snapshot)  # headline is now unloseable
+    if os.environ.get("BENCH_MODE") not in ("fast", "stir", "whir"):
+        # side entries in priority order (VERDICT r4 items 3 and 7 put
+        # babybear/2^22/batch4 ahead of stir/whir/mimc); compiled
+        # executables persist in .jax_cache, so pre-warmed configs cost
+        # ~1-2 min each, cold ones ~4-5 min
+        side = [
+            # (kernels key, steps, extra env)
+            ("fast_e2e_prove", steps, {"BENCH_MODE": "fast"}),
+            ("babybear_e2e_prove_2^20", str((1 << 20) - 1),
+             {"BENCH_FIELD": "babybear"}),
+            ("fast_e2e_prove_2^22", str((1 << 22) - 1),
+             {"BENCH_MODE": "fast"}),
+            ("fast_prove_many_batch4", steps,
+             {"BENCH_MODE": "fast", "BENCH_BATCH": "4"}),
+            ("stir_e2e_prove", steps, {"BENCH_MODE": "stir"}),
+            ("whir_e2e_prove", steps, {"BENCH_MODE": "whir"}),
+            ("mimc_e2e_prove", steps, {"BENCH_MODEL": "mimc"}),
+        ]
+        if os.environ.get("BENCH_FIELD", "goldilocks") != "goldilocks":
+            side = [s for s in side if "babybear" not in s[0]]
+        if cold_host:
+            # every entry is a cold multi-minute compile on this host;
+            # keep only the highest-value ones (the headline is already out)
+            side = side[:4]
+            print("# cold host detected; side list capped to 4",
+                  file=sys.stderr)
+        for key, ssteps, extra in side:
+            left = int(deadline - time.time() - reserve)
+            if left < 240:
+                print(f"# skipping {key} entry: {left}s budget left",
+                      file=sys.stderr)
+                continue
+            e = _sub_entry(here, ssteps, budget=min(1200, left),
+                           label=key, **extra)
+            if e is not None:
+                snapshot.setdefault("kernels", {})[key] = e
+                _emit(snapshot)  # each completed entry is unloseable too
+    return 0
 
 
 if __name__ == "__main__":

@@ -352,6 +352,8 @@ def kernel_rooflines(deadline=None):
         "leaf_rows_per_s": round(2 * nb_ / best / 1e6, 2),  # Mrows/s
     })
 
+    if past_deadline('batched_commit_dev'):
+        return results
     # device time by SLOPE: the naive number above includes ~26-40 ms of
     # tunnel dispatch RTT (round-4 probe scripts/tpu_commit_breakdown.py:
     # 43.6 ms naive vs 17.4 ms chained device body = FFT 8.4 + coset-row

@@ -101,13 +101,18 @@ def _max_group_bytes(fmt: int, leafs_per_node: int,
 
 
 def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
-                     max_digits: int = MAX_DIGITS):
+                     max_digits: int = MAX_DIGITS, use_pallas=None):
     """comps_u32: (n_elems, comps, 2) uint32 [lo, hi] component words.
     Returns (n_groups, 8) uint32 digests (big-endian words).
 
     ``max_digits``: decimal-digit bound per component — 20 for u64 fields
     (Goldilocks), 10 for u32 fields (BabyBear: p < 2^31). Smaller bounds
-    shrink the digit ladder, the placement loops AND the preimage buffer."""
+    shrink the digit ladder, the placement loops AND the preimage buffer.
+
+    ``use_pallas``: None = auto (sha256_pallas.enabled() + shape gate);
+    False forces the XLA compression — used by the sharded tree builder,
+    where pallas_call under shard_map is not hardware-validated on real
+    multi-chip meshes (single-chip probes don't cover that lowering)."""
     comps = {0: 1, 1: 2, 2: 4}[fmt]
     n_elems = comps_u32.shape[0]
     assert n_elems % leafs_per_node == 0
@@ -185,7 +190,9 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
     # binary row hash). Gate read at TRACE time like index_tree.
     from . import sha256_pallas as sp
 
-    if sp.enabled() and n_groups % sp.MIN_LANES == 0 \
+    if use_pallas is None:
+        use_pallas = sp.enabled()
+    if use_pallas and n_groups % sp.MIN_LANES == 0 \
             and n_groups >= sp.MIN_LANES:
         digests_t = sp.sha256_masked_tr(
             words.reshape(n_groups, -1).T,

@@ -151,7 +151,8 @@ def _inner_levels_fused(leaf_digests, fan_in: int):
     cur_t = None  # transposed (8, n) form carried between Pallas levels
     while cur.shape[0] > 1:
         f = min(fan_in, cur.shape[0])
-        if use_pallas and cur.shape[0] >= sp.MIN_LANES * f:
+        if (use_pallas and cur.shape[0] >= sp.MIN_LANES * f
+                and cur.shape[0] % (sp.MIN_LANES * f) == 0):
             cur_t = cur.T if cur_t is None else cur_t
             cur_t = sp.inner_level_tr(cur_t, f, interpret=not sp._on_tpu())
             cur = cur_t.T

@@ -45,9 +45,14 @@ def _make_builder(n_elems: int, comps: int, leafs_per_node: int, fmt: int,
     g_loc = (n_elems // leafs_per_node) // n_dev
 
     def body(comps_local):
-        # comps_local: (n_elems/D, comps, 2) — whole leaf groups per shard
+        # comps_local: (n_elems/D, comps, 2) — whole leaf groups per shard.
+        # use_pallas=False: pallas_call under shard_map has never been
+        # hardware-validated on a real multi-chip mesh (all probes are
+        # single-chip, and interpret-mode tests don't cover Mosaic
+        # lowering) — keep the sharded builder on the XLA compression
+        # until a multi-chip probe exists (ADVICE r4).
         levels = [leaf_hash_device(comps_local, leafs_per_node, fmt,
-                                   max_digits)]
+                                   max_digits, use_pallas=False)]
         while levels[-1].shape[0] > 1:
             levels.append(merkle_inner_level2(levels[-1]))
         return tuple(levels)

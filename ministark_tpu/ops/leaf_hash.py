@@ -71,6 +71,41 @@ def u64_digits(lo, hi, max_digits: int = MAX_DIGITS):
     return dig, length
 
 
+def u64_digit_nibbles(lo, hi, max_digits: int = MAX_DIGITS):
+    """(…,) u32 pairs -> ((…, nw) u32 nibble-packed digits, (…,) lengths).
+
+    Same divide-by-10 ladder as u64_digits, but each digit lands as a
+    4-bit nibble (LSB-first: digit i at bits 4*(i%8) of word i//8). The
+    placement pass then reads digit ``didx`` with one word select plus a
+    per-lane variable shift instead of a ``max_digits``-way one-hot select
+    chain — the op-count fix for the leaf-hash placement gap (VERDICT r4
+    item 4)."""
+    nw = (max_digits + 7) // 8
+    words = [jnp.zeros_like(lo) for _ in range(nw)]
+    top = jnp.zeros_like(lo, dtype=jnp.int32)
+
+    def put(i, d):
+        words[i // 8] = words[i // 8] | (d << jnp.uint32(4 * (i % 8)))
+        return jnp.where(d != 0, jnp.int32(i + 1), top)
+
+    if max_digits <= 10:
+        v = lo
+        for i in range(max_digits):
+            _, q = mul32_wide(v, _MAGIC_LO)
+            q = q >> 3
+            top = put(i, v - q * jnp.uint32(10))
+            v = q
+    else:
+        for i in range(max_digits):
+            x0, x1, x2, x3 = mul64_wide(lo, hi, _MAGIC_LO, _MAGIC_HI)
+            q_lo = (x2 >> 3) | (x3 << 29)
+            q_hi = x3 >> 3
+            top = put(i, lo - q_lo * jnp.uint32(10))
+            lo, hi = q_lo, q_hi
+    length = jnp.maximum(top, 1)
+    return jnp.stack(words, axis=-1), length
+
+
 # segment descriptors per format: list of ("const", bytes) | ("digits", comp)
 _FMT_SEGMENTS = {
     0: [("digits", 0)],
@@ -119,10 +154,11 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
     n_groups = n_elems // leafs_per_node
     k = leafs_per_node
 
-    # digits per (group, elem-in-group, comp)
+    # digits per (group, elem-in-group, comp), packed 4-bit LSB-first
     lo = comps_u32[..., 0].reshape(n_groups, k, comps)
     hi = comps_u32[..., 1].reshape(n_groups, k, comps)
-    dig, dlen = u64_digits(lo, hi, max_digits)  # (g,k,c,md), (g,k,c)
+    nib, dlen = u64_digit_nibbles(lo, hi, max_digits)  # (g,k,c,nw), (g,k,c)
+    nw = nib.shape[-1]
 
     segs = _group_segments(fmt, k)
     B = _max_group_bytes(fmt, k, max_digits)
@@ -139,25 +175,51 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
     starts = jnp.cumsum(seg_len, axis=1) - seg_len          # (g, nseg)
     total_len = jnp.sum(seg_len, axis=1)                    # (g,)
 
-    tpos = jnp.arange(B, dtype=jnp.int32)[None, :]          # (1, B)
+    # static per-segment position bounds: segment s can only occupy
+    # [min_start_s, max_start_s + max_len_s); every placement pass below
+    # runs on that WINDOW, not the full B-wide buffer (the windows sum to
+    # ~1.5x B instead of nseg x B — most of the old placement cost)
+    min_starts, max_starts, mn, mx = [], [], 0, 0
+    for kind, v, e in segs:
+        min_starts.append(mn)
+        max_starts.append(mx)
+        step = len(v) if kind == "const" else 1
+        mn += step
+        mx += len(v) if kind == "const" else max_digits
+    min_total = mn                                          # all-1-digit case
+    assert mx == B
+
     out = jnp.zeros((n_groups, B), jnp.uint8)
     for s, (kind, v, e) in enumerate(segs):
+        a = min_starts[s]
+        b = min(max_starts[s] + (len(v) if kind == "const" else max_digits),
+                B)
+        tpos = jnp.arange(a, b, dtype=jnp.int32)[None, :]   # (1, W)
+        win = out[:, a:b]
         s0 = starts[:, s : s + 1]                           # (g, 1)
         ln = seg_len[:, s : s + 1]
         inseg = (tpos >= s0) & (tpos < s0 + ln)
-        off = tpos - s0                                     # (g, B)
-        # NOTE: one-hot broadcast-compare selection, NOT take_along_axis —
-        # per-row gathers on the minor axis are pathologically slow on TPU
-        # (~200x for this kernel).
+        off = tpos - s0                                     # (g, W)
+        # NOTE: broadcast-compare selection, NOT take_along_axis — per-row
+        # gathers on the minor axis are pathologically slow on TPU (~200x
+        # for this kernel).
         if kind == "const":
             for i, byte_val in enumerate(v):
-                out = jnp.where(inseg & (off == i), jnp.uint8(byte_val), out)
+                win = jnp.where(inseg & (off == i), jnp.uint8(byte_val), win)
         else:
-            # digit chars MSB-first: digit index = len-1-off (LSB-first store)
-            didx = ln - 1 - off                             # (g, B)
-            for j in range(max_digits):
-                d_j = dig[:, e, v, j].astype(jnp.uint8) + jnp.uint8(48)
-                out = jnp.where(inseg & (didx == j), d_j[:, None], out)
+            # digit chars MSB-first: digit index = len-1-off (LSB-first
+            # store). ONE pass: select the nibble word (nw <= 3), then a
+            # per-lane variable shift extracts the digit — replaces the
+            # old max_digits-way one-hot chain over the full buffer.
+            didx = jnp.clip(ln - 1 - off, 0, max_digits - 1)  # (g, W)
+            wsel = jnp.broadcast_to(nib[:, e, v, 0:1], didx.shape)
+            for wi in range(1, nw):
+                wsel = jnp.where((didx >> 3) == wi,
+                                 nib[:, e, v, wi:wi + 1], wsel)
+            digit = (wsel >> ((didx & 7) << 2).astype(jnp.uint32)) \
+                & jnp.uint32(15)
+            win = jnp.where(inseg, (digit + 48).astype(jnp.uint8), win)
+        out = out.at[:, a:b].set(win)
 
     # SHA-256 padding: 0x80 at total_len; 64-bit BE bit length at block end
     max_blocks = (B + 8) // 64 + 1
@@ -166,18 +228,29 @@ def leaf_hash_device(comps_u32, leafs_per_node: int, fmt: int,
         out = jnp.concatenate(
             [out, jnp.zeros((n_groups, PB - B), jnp.uint8)], axis=1
         )
-    bpos = jnp.arange(PB, dtype=jnp.int32)[None, :]
-    out = jnp.where(bpos == total_len[:, None], jnp.uint8(0x80), out)
+    # 0x80 terminator: total_len is in [min_total, B] — windowed pass
+    tb = B + 1
+    tpos = jnp.arange(min_total, tb, dtype=jnp.int32)[None, :]
+    win = jnp.where(tpos == total_len[:, None], jnp.uint8(0x80),
+                    out[:, min_total:tb])
+    out = out.at[:, min_total:tb].set(win)
     last_block = (total_len + 8) // 64                      # (g,)
     bitlen = (total_len.astype(jnp.uint32) * 8)
-    # bit length fits in 32 bits; bytes PB-4.. of the last active block
+    # bit length fits in 32 bits; bytes PB-4.. of the last active block.
+    # last_block spans a static range — window the length-byte passes too
+    lb_min = (min_total + 8) // 64
+    lb_max = (B + 8) // 64
+    wa, wb = lb_min * 64 + 56, lb_max * 64 + 64
+    bpos = jnp.arange(wa, wb, dtype=jnp.int32)[None, :]
+    win = out[:, wa:wb]
     len_base = last_block * 64 + 56
     for j in range(8):
         shift = (7 - j) * 8  # static python int
         if shift >= 32:
             continue  # bit length < 2^32; high bytes stay zero
         val = ((bitlen >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(jnp.uint8)
-        out = jnp.where(bpos == (len_base + j)[:, None], val[:, None], out)
+        win = jnp.where(bpos == (len_base + j)[:, None], val[:, None], win)
+    out = out.at[:, wa:wb].set(win)
 
     # bytes -> (g, blocks, 16) BE words
     w = out.reshape(n_groups, max_blocks, 16, 4).astype(jnp.uint32)

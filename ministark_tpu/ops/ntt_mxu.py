@@ -7,11 +7,13 @@ jaxite/TFHE-on-TPU recipe, re-derived for 64-bit Goldilocks):
 
 * factor n into F1*...*Fk with every F <= 512 and apply the four-step
   decomposition recursively (one inter-level twiddle per split);
-* each length-F NTT is ONE integer matmul: the input is split into NA
-  balanced signed bytes x = sum_a d_a 256^a (d_a in [-128, 127]; the
-  truncating u32->s8 cast of byte+carry IS the digit), and the DFT matrix
-  is pre-scaled per digit, V^(a)[m, k] = root^(m*k) * 256^a mod p, each
-  entry decomposed into NB balanced signed bytes:
+* each length-F NTT is ONE integer matmul: the input is CENTERED (values
+  above the 8-byte balanced capacity map to v - p; see _params) and split
+  into NA balanced signed bytes x = sum_a d_a 256^a (d_a in [-128, 127];
+  the truncating u32->s8 cast of byte+carry IS the digit), and the DFT
+  matrix is pre-scaled per digit, V^(a)[m, k] = root^(m*k) * 256^a mod p,
+  each entry centered the same way and decomposed into NB balanced
+  signed bytes:
 
     NTT(x)[k] = sum_b 2^(8b) * R_b[k]  (mod p),
     R[g, (b, k)] = sum_{a, m} d[a, g, m] * Vd[a, m, (b, k)]
@@ -77,12 +79,28 @@ RT = 512             # fused-kernel rows (surviving positions) per block
 
 
 def _params(p: int):
-    """(limbs, NA input byte digits, NB matrix byte digits) for modulus p."""
+    """(limbs, NA input byte digits, NB matrix byte digits) for modulus p.
+
+    CENTERED representation (round 5): the balanced-byte count drops by
+    one on BOTH sides. Greedy balanced base-256 in nd digits covers
+    [-128*S, 127*S] with S = (256^nd - 1)/255. For Goldilocks, canonical
+    values v > T = 127*(2^64-1)/255 (= 0x7F7F7F7F7F7F7F7F) are mapped to
+    v - p — both branches then fit 8 digits (v <= T = +capacity;
+    v - p > T - p = -9.2595e18 >= -128*S). The threshold is ASYMMETRIC
+    because p/2 exceeds the positive capacity by ~0.4%. For BabyBear
+    p - 1 < 127*(2^32-1)/255, so 4 digits cover the whole canonical
+    range with no centering. MACs per (position, output) pair:
+    GL 81 -> 64, BB 25 -> 16; one fewer recombine plane each."""
     if p == gl_ops.P:
-        return 2, 9, 9      # 64-bit values: 9 balanced signed bytes each way
+        return 2, 8, 8      # centered 64-bit: 8 balanced signed bytes
     if p == bb_ops.P:
-        return 1, 5, 5      # 31-bit values: 5 balanced signed bytes each way
+        return 1, 4, 4      # uncentered 31-bit: 4 balanced signed bytes
     raise ValueError(f"no MXU NTT for field modulus {p}")
+
+
+# Goldilocks centering threshold: the exact positive capacity of 8
+# balanced bytes, 127 * (2^64 - 1) / 255 = 0x7F7F7F7F7F7F7F7F.
+_GL_CENTER_T = 127 * ((1 << 64) - 1) // 255
 
 
 def factorize(n: int):
@@ -123,11 +141,27 @@ def _balanced_digits_u64(v: np.ndarray, nd: int) -> np.ndarray:
     return out
 
 
+def _balanced_digits_signed(v: np.ndarray, nd: int) -> np.ndarray:
+    """object-int array (centered, possibly negative) -> (..., nd) int8
+    balanced base-256 digits. Greedy balanced digits represent any
+    |v| <= 2^(8*nd - 1) exactly; centered field values are far inside."""
+    v = v.copy()
+    out = np.zeros(v.shape + (nd,), dtype=np.int8)
+    for b in range(nd):
+        r = (v + 128) % 256 - 128          # exact object-int arithmetic
+        out[..., b] = r.astype(np.int8)
+        v = (v - r) // 256
+    assert not v.any(), "digit count too small for centered value range"
+    return out
+
+
 @lru_cache(maxsize=None)
 def _dft_digit_matrix(p: int, root: int, F: int):
     """(NA*F, NB*F) int8: row (a*F + m), col (b*F + k) holds
-    digit_b(root^(m*k) * 16^a mod p) -- plane-major on both sides so the
-    traced code never interleaves digit and position axes."""
+    digit_b(center(root^(m*k) * 256^a mod p)) -- plane-major on both
+    sides so the traced code never interleaves digit and position axes;
+    entries above the positive digit capacity are centered to v - p
+    before digitizing (see _params)."""
     _, NA, NB = _params(p)
     row = np.empty(F, dtype=object)
     v = 1
@@ -141,9 +175,11 @@ def _dft_digit_matrix(p: int, root: int, F: int):
     for m in range(2, F):
         tbl[m] = tbl[m - 1] * row % p
     digs = np.empty((NA, F, F, NB), dtype=np.int8)
+    cap = 127 * ((1 << (8 * NB)) - 1) // 255   # positive digit capacity
     for a in range(NA):
         scaled = tbl * pow(256, a, p) % p if a else tbl
-        digs[a] = _balanced_digits_u64(scaled.astype(np.uint64), NB)
+        centered = np.where(scaled > cap, scaled - p, scaled)
+        digs[a] = _balanced_digits_signed(centered, NB)
     # (NA, F_m, F_k, NB) -> (NA, F_m, NB, F_k) -> (NA*F, NB*F)
     return np.transpose(digs, (0, 1, 3, 2)).reshape(NA * F, NB * F)
 
@@ -170,17 +206,35 @@ def _digitize(planes, NA: int):
     stacked on a NEW LEADING axis (pure concatenation in memory -- no
     minor-axis interleave, no relayout).
 
-    x = sum_a d_a 256^a with d_a in [-128, 127]: the truncating u32->s8
-    cast of (byte + carry) IS the balanced digit (two's complement), so
-    each step is add / cast / compare -- no select chain."""
-    c = jnp.zeros_like(planes[0])
+    CENTERED (Goldilocks): canonical v > _GL_CENTER_T is mapped to v - p
+    as a two's-complement wide subtract (see _params for why the
+    threshold is the exact positive digit capacity, not p/2), then
+    greedily digitized: x = sum_a d_a 256^a with d_a in [-128, 127] --
+    the truncating u32->s8 cast of (byte + carry) IS the balanced digit,
+    and the FINAL carry is dropped (for negative v_c the two's-complement
+    wrap +2^64 is exactly the dropped carry's weight). BabyBear values
+    fit 4 digits uncentered (final carry provably 0). NA = 8 for
+    Goldilocks (2 words), 4 for BabyBear (1 word)."""
+    if len(planes) == 2:
+        lo, hi = planes
+        H_LO = np.uint32(_GL_CENTER_T & 0xFFFFFFFF)
+        H_HI = np.uint32(_GL_CENTER_T >> 32)
+        P_LO = np.uint32(gl_ops.P & 0xFFFFFFFF)
+        P_HI = np.uint32(gl_ops.P >> 32)
+        big = (hi > H_HI) | ((hi == H_HI) & (lo > H_LO))
+        borrow = (lo < P_LO).astype(U32)
+        lo = jnp.where(big, lo - P_LO, lo)
+        hi = jnp.where(big, hi - P_HI - borrow, hi)
+        words = (lo, hi)
+    else:
+        words = planes
+    c = jnp.zeros_like(words[0])
     digs = []
-    for w in planes:
+    for w in words:
         for i in range(4):
             t = ((w >> np.uint32(8 * i)) & np.uint32(255)) + c
             digs.append(t.astype(jnp.int8))
             c = (t > np.uint32(127)).astype(U32)
-    digs.append(c.astype(jnp.int8))
     assert len(digs) == NA
     return jnp.stack(digs, axis=0)
 
@@ -429,11 +483,169 @@ def _fused_level(planes, Vd, NA, NB, kc_np, tw_flat, scalar_np,
     return tuple(t.reshape((B,) + rest + (F,)) for t in out)
 
 
+def _make_pipe_kernel(nl, NA, NB, F, rt, kc_np, has_tw, scalar_np,
+                      has_pre, PF, T, guards=True):
+    """Skewed-pipeline twin of _make_fused_kernel: at grid step t the body
+    digitizes tile t (VPU), matmuls tile t-1 (MXU) and recombines tile t-2
+    (VPU), double-buffered through VMEM scratch. The three slices touch
+    DIFFERENT buffers, so Mosaic's scheduler is free to overlap the MXU
+    dot with the VPU stages instead of serializing them as the straight
+    kernel's dataflow forces (the named 2.8x-off-bound gap,
+    BENCHMARKS.md speed-of-light bullet 1). Grid axis 1 runs T+2 steps
+    (two pipeline-drain steps); BlockSpec index maps clamp into range."""
+
+    def kernel(*refs):
+        i = 0
+        x_refs = refs[:nl]
+        i = nl
+        pre_refs = None
+        if has_pre:
+            pre_refs = refs[i:i + nl]
+            i += nl
+        vd_ref = refs[i]
+        i += 1
+        tw_refs = None
+        if has_tw:
+            tw_refs = refs[i:i + nl]
+            i += nl
+        o_refs = refs[i:i + nl]
+        i += nl
+        d_buf = refs[i]          # (2, NA*F, rt) int8 scratch
+        r_buf = refs[i + 1]      # (2, rt, NB*PF) int32 scratch
+
+        t = pl.program_id(1)
+
+        def _dig():
+            x_planes = tuple(r[0] for r in x_refs)
+            if has_pre:
+                x_planes = _mul_planes(
+                    x_planes, tuple(r[...] for r in pre_refs))
+            d_buf[t % 2] = _digitize(x_planes, NA).reshape(NA * F, rt)
+
+        def _dot():
+            r_buf[(t - 1) % 2] = jax.lax.dot_general(
+                d_buf[(t - 1) % 2], vd_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        def _rec():
+            R = r_buf[(t - 2) % 2]
+            if nl == 2:
+                out = _recombine_gl(R, NB, F, kc_np, PF)
+            else:
+                out = _recombine_bb(R, NB, F, kc_np, PF)
+            if has_tw:
+                out = _mul_planes(out, tuple(r[...] for r in tw_refs))
+            if scalar_np is not None:
+                out = _mul_planes(
+                    out, tuple(jnp.full((1, 1), s, U32) for s in scalar_np)
+                )
+            for r, v in zip(o_refs, out):
+                r[0] = v
+
+        if guards:
+            pl.when(t < T)(_dig)
+            pl.when((t >= 1) & (t <= T))(_dot)
+            pl.when(t >= 2)(_rec)
+        else:
+            # guard-free: every stage runs every step. The prologue/epilogue
+            # work is garbage-on-garbage — the dot reads an uninitialized
+            # d_buf slot at t=0, the recombine writes garbage to out block 0
+            # at t<2 — but the clamped out index map revisits block 0 until
+            # t=2 writes the real tile, and Pallas only flushes an out
+            # block when its index CHANGES (t=3). One basic block gives the
+            # Mosaic scheduler maximal freedom to overlap MXU and VPU work
+            # (the @pl.when regions serialize as control-flow boundaries).
+            _dig()
+            _dot()
+            _rec()
+
+    return kernel
+
+
+def _fused_level_pipe(planes, Vd, NA, NB, kc_np, tw_flat, scalar_np,
+                      interpret, pre=None):
+    """Pipelined _fused_level: same signature/semantics, skewed grid."""
+    nl = len(planes)
+    B, F = planes[0].shape[0], planes[0].shape[1]
+    R = planes[0].size // (B * F)
+    rest = planes[0].shape[2:]
+    rt = min(RT, R)
+    T = R // rt
+    xs = tuple(t.reshape(B, F, R) for t in planes)
+    vd2 = Vd.reshape(-1, Vd.shape[-1])
+    PF = vd2.shape[-1] // NB
+
+    def clamp_in(b, t):
+        return (b, 0, jnp.minimum(t, T - 1))
+
+    def clamp_row(b, t):
+        return (jnp.clip(t - 2, 0, T - 1), 0)
+
+    def clamp_out(b, t):
+        return (b, jnp.clip(t - 2, 0, T - 1), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, F, rt), clamp_in, memory_space=pltpu.VMEM)
+        for _ in range(nl)
+    ]
+    args = list(xs)
+    if pre is not None:
+        for t_ in pre:
+            in_specs.append(pl.BlockSpec(
+                (F, rt), lambda b, t: (0, jnp.minimum(t, T - 1)),
+                memory_space=pltpu.VMEM,
+            ))
+            args.append(t_.reshape(F, R))
+    in_specs.append(
+        pl.BlockSpec(vd2.shape, lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(vd2)
+    if tw_flat is not None:
+        for t_ in tw_flat:
+            in_specs.append(pl.BlockSpec(
+                (rt, F), clamp_row, memory_space=pltpu.VMEM
+            ))
+            args.append(t_)
+
+    kern = _make_pipe_kernel(
+        nl, NA, NB, F, rt, kc_np, tw_flat is not None,
+        scalar_np, pre is not None, PF, T,
+        guards=os.environ.get("MINISTARK_MXU_PIPE", "0") != "2",
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, R, F), jnp.uint32) for _ in range(nl)
+        ),
+        grid=(B, T + 2),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((1, rt, F), clamp_out, memory_space=pltpu.VMEM)
+            for _ in range(nl)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NA * F, rt), jnp.int8),
+            pltpu.VMEM((2, rt, NB * PF), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    return tuple(t.reshape((B,) + rest + (F,)) for t in out)
+
+
 def _mxu_core_fused(planes, factors, v_mats, tws_flat, NA, NB, kc_np,
                     scalar_np, interpret, pre=None):
     """Fused-kernel twin of _mxu_core: same factor walk, one pallas_call per
     level (coset pre-scale, twiddle and any trailing scalar all ride the
-    level kernels)."""
+    level kernels). MINISTARK_MXU_PIPE=1 (trace-time) swaps in the
+    skewed-pipeline level kernel (_fused_level_pipe)."""
+    level_fn = (_fused_level_pipe
+                if os.environ.get("MINISTARK_MXU_PIPE", "0") in ("1", "2")
+                else _fused_level)
     B = planes[0].shape[0]
     n = planes[0].shape[1]
     Fs = [1 << lf for lf in factors]
@@ -441,7 +653,7 @@ def _mxu_core_fused(planes, factors, v_mats, tws_flat, NA, NB, kc_np,
     planes = tuple(t.reshape((B,) + tuple(Fs)) for t in planes)
     for lvl in range(k):
         last = lvl == k - 1
-        planes = _fused_level(
+        planes = level_fn(
             planes, v_mats[lvl], NA, NB, kc_np, tws_flat[lvl],
             scalar_np if last else None, interpret,
             pre=pre if lvl == 0 else None,

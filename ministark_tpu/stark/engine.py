@@ -412,21 +412,31 @@ class DeviceEngine:
         total = w + len(trace.transitions)
         lde_n = cfg.blowup_factor * n
 
-        def warm_round(s):
+        def warm_round(s, part):
+            # split per-executable (part 0..3) so the pool stays saturated:
+            # one coarse task serialized ~4 remote compiles behind a single
+            # worker while other workers idled at the tail (VERDICT r4
+            # item 5 — the cold bill is compile-service-parallelism-bound)
             half = jnp.zeros((s // 2,) + tuple(ke.elem_axes), dtype=jnp.uint32)
-            _deep_evals_jit(ke, half, sc)
-            _fold_div_jit(ke, half, sc, sc, sc, sc)
-            cw = self._ext_fft(half, s)
-            self._fri_round_tree(cw)
+            if part == 0:
+                _deep_evals_jit(ke, half, sc)
+            elif part == 1:
+                _fold_div_jit(ke, half, sc, sc, sc, sc)
+            elif part == 2:
+                self._ext_fft(half, s)
+            else:
+                cw = jnp.zeros((s,) + tuple(ke.elem_axes), dtype=jnp.uint32)
+                self._fri_round_tree(cw)
 
-        def warm_query(s):
+        def warm_query(s, part):
             # query-phase executables for this size (cold they cost as much
             # as the round loop's: ~60-80 s per round pair, measured);
             # submitted as a second wave so every round executable is
-            # in flight before the first query one
+            # in flight before the first query one. part 0 = gather +
+            # quotients; part 1 = tree search/proof paths (reuses the round
+            # tree executable — a cache hit once warm_round part 3 lands).
             half = jnp.zeros((s // 2,) + tuple(ke.elem_axes), dtype=jnp.uint32)
             cw = jnp.zeros((s,) + tuple(ke.elem_axes), dtype=jnp.uint32)
-            tree = self._fri_round_tree(cw)
             cwn = jnp.zeros((s // 2,) + tuple(ke.elem_axes), dtype=jnp.uint32)
             # int32 explicitly: codeword indices are < 2^31 and requesting
             # int64 under disabled x64 emits a UserWarning into every
@@ -434,10 +444,14 @@ class DeviceEngine:
             i1 = jnp.zeros((2 * nq,), jnp.int32)
             i2 = jnp.zeros((nq,), jnp.int32)
             reads = _gather_two_jit(cw, cwn, i1, i2)
-            scal = jnp.zeros((nq,) + tuple(ke.elem_axes), dtype=jnp.uint32)
-            _query_quotients_from_reads_jit(
-                ke, half, reads, scal, scal, scal, scal, scal
-            )
+            if part == 0:
+                scal = jnp.zeros((nq,) + tuple(ke.elem_axes),
+                                 dtype=jnp.uint32)
+                _query_quotients_from_reads_jit(
+                    ke, half, reads, scal, scal, scal, scal, scal
+                )
+                return
+            tree = self._fri_round_tree(cw)
             if tree.device_resident:
                 rows = _proof_rows_jit(ext, reads, nq)
                 tree.search_rows_async(rows)
@@ -471,12 +485,14 @@ class DeviceEngine:
                     ),
                 )
 
-        workers = int(_os.environ.get("MINISTARK_PREWARM_WORKERS", "8"))
+        workers = int(_os.environ.get("MINISTARK_PREWARM_WORKERS", "12"))
         pool = ThreadPoolExecutor(workers)
         self._prewarm_pool = pool
         for task in ([warm_lde, warm_mix_eval, warm_trees]
-                     + [(lambda s=s: warm_round(s)) for s in sizes]
-                     + [(lambda s=s: warm_query(s)) for s in sizes]):
+                     + [(lambda s=s, p=p: warm_round(s, p))
+                        for s in sizes for p in range(4)]
+                     + [(lambda s=s, p=p: warm_query(s, p))
+                        for s in sizes for p in range(2)]):
             pool.submit(task)
 
     def _finish_prewarm(self):

@@ -96,13 +96,15 @@ def run_full(pl_in):
     return tuple(t.reshape(pl_in[0].shape) for t in out)
 
 results["full_level"] = _time_chained(run_full, planes)
+print(f"full_level: {results['full_level']}", flush=True)
 
 # --- digitize-only: d = digitize(x); out = cheap projection of d ---
 def kern_dig(x0, x1, o0, o1):
     d = M._digitize((x0[0], x1[0]), NA).reshape(NA * Ff, rt)
-    # cheap projection: one row slice per output plane (no dot, no recombine)
-    o0[0] = d[:rt, :Ff].astype(U32).T
-    o1[0] = d[NA * Ff - rt:, :Ff].astype(U32).T
+    # cheap projection: one (rt, Ff) slice per output plane (no dot,
+    # no recombine) — transposed slice shape matches the out block
+    o0[0] = d[:Ff, :rt].astype(U32).T
+    o1[0] = d[NA * Ff - Ff:, :rt].astype(U32).T
 
 
 def run_dig(pl_in):
@@ -110,6 +112,7 @@ def run_dig(pl_in):
     return tuple(t.reshape(pl_in[0].shape) for t in out)
 
 results["digitize_only"] = _time_chained(run_dig, planes)
+print(f"digitize_only: {results['digitize_only']}", flush=True)
 
 # --- dot-only: pre-digitized input, s32 dot, cheap projection out ---
 dpre = np.asarray(
@@ -146,13 +149,12 @@ def run_dot(d):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(d, jnp.asarray(vd2))
-    # chain: cast a slice back to int8 shape
-    return d + out[0].reshape(B, R, Ff).transpose(0, 2, 1).astype(
-        jnp.int8)[:, :1, :].repeat(NA * Ff, axis=1) * 0 + \
-        out[0].reshape(B, R, Ff)[0, 0, 0].astype(jnp.int8)
+    # data-dependent chain: perturb one scalar of d with the output
+    return d.at[0, 0, 0].set(out[0][0, 0, 0].astype(jnp.int8))
 
 
 results["dot_only"] = _time_chained(run_dot, dpre_j)
+print(f"dot_only: {results['dot_only']}", flush=True)
 
 # --- recombine-only: pre-made s32 R tiles -> recombine + twiddle ---
 Rpre = jnp.asarray(rng.integers(

@@ -71,36 +71,87 @@ def u64_digits(lo, hi, max_digits: int = MAX_DIGITS):
     return dig, length
 
 
+# chunked-extraction magic constants — each verified EXACT over its input
+# range (exhaustive small ranges + 300k adversarial/random samples at the
+# boundaries; derivation in the round-5 work log):
+#   floor(v / 10^10), v < 2^64:  mulhi64(v, _M_1E10) >> 33  (= x3 >> 1)
+#   floor(x / 12500), x < 1.25e9: mulhi32(x, _M_1E5) >> 10
+#   floor(x / 10^5),  x < 2^31:   mulhi32(x, _M_1E5) >> 13
+#   floor(x / 10),    x < 2^17:   ((x >> 1) * 52429) >> 18
+_M_1E10_LO = jnp.uint32(0xBDEDD5BF)
+_M_1E10_HI = jnp.uint32(0xDBE6FECE)
+_M_1E5 = jnp.uint32(0x14F8B589)
+_M_DIV10_SMALL = jnp.uint32(52429)
+
+
 def u64_digit_nibbles(lo, hi, max_digits: int = MAX_DIGITS):
     """(…,) u32 pairs -> ((…, nw) u32 nibble-packed digits, (…,) lengths).
 
-    Same divide-by-10 ladder as u64_digits, but each digit lands as a
-    4-bit nibble (LSB-first: digit i at bits 4*(i%8) of word i//8). The
-    placement pass then reads digit ``didx`` with one word select plus a
-    per-lane variable shift instead of a ``max_digits``-way one-hot select
-    chain — the op-count fix for the leaf-hash placement gap (VERDICT r4
-    item 4)."""
+    Each digit lands as a 4-bit nibble (LSB-first: digit i at bits
+    4*(i%8) of word i//8), so the placement pass reads digit ``didx``
+    with one word select plus a per-lane variable shift instead of a
+    ``max_digits``-way one-hot select chain (VERDICT r4 item 4).
+
+    CHUNKED extraction (round 5): the straight 20-step mulhi64
+    divide-by-10 ladder measured 43 ms alone at 2^21 fmt-1 — the
+    leaf-hash bottleneck. Instead: one exact magic divide splits
+    v = q1*10^10 + r1, one more splits r1 = a*10^5 + b (and q1 =
+    a2*10^5 + b2), then all digits come from 5-step u32 mini-ladders on
+    values < 2^17 whose divide-by-10 is a single 32-bit multiply —
+    ~3x fewer word-ops than the wide ladder. max_digits == 10 assumes
+    values < 2^31 (BabyBear); other widths take the generic ladder."""
     nw = (max_digits + 7) // 8
     words = [jnp.zeros_like(lo) for _ in range(nw)]
     top = jnp.zeros_like(lo, dtype=jnp.int32)
 
-    def put(i, d):
+    def put(i, d, prev):
         words[i // 8] = words[i // 8] | (d << jnp.uint32(4 * (i % 8)))
-        return jnp.where(d != 0, jnp.int32(i + 1), top)
+        return jnp.where(d != 0, jnp.int32(i + 1), prev)
 
-    if max_digits <= 10:
-        v = lo
-        for i in range(max_digits):
-            _, q = mul32_wide(v, _MAGIC_LO)
-            q = q >> 3
-            top = put(i, v - q * jnp.uint32(10))
-            v = q
-    else:
+    def mini_ladder(x, base, t, nd=5):
+        # x < 2^17: 5 decimal digits, one u32 multiply per step
+        for j in range(nd):
+            q = ((x >> 1) * _M_DIV10_SMALL) >> 18
+            t = put(base + j, x - q * jnp.uint32(10), t)
+            x = q
+        return t
+
+    if max_digits == 20:
+        # v = q1*10^10 + r1 (exact mulhi64 magic; q1 = hi64(v*M) >> 33,
+        # and since the shift is >= 32 that is just x3 >> 1)
+        _, _, x2, x3 = mul64_wide(lo, hi, _M_1E10_LO, _M_1E10_HI)
+        q1 = x3 >> 1                                      # < 2^31
+        # r1 = v - q1*10^10, 10^10 = 2*2^32 + 0x540BE400
+        p0, p1 = mul32_wide(q1, jnp.uint32(0x540BE400))
+        r1_lo = lo - p0
+        borrow = (lo < p0).astype(jnp.uint32)
+        r1_hi = hi - (p1 + (q1 << 1)) - borrow            # < 3
+        # r1 = a*10^5 + b  (a = floor((r1 >> 3) / 12500), exact)
+        r8 = (r1_lo >> 3) | (r1_hi << 29)
+        _, ah = mul32_wide(r8, _M_1E5)
+        a = ah >> 10                                      # < 10^5
+        b = r1_lo - a * jnp.uint32(100000)                # low-word exact
+        # q1 = a2*10^5 + b2
+        _, a2h = mul32_wide(q1, _M_1E5)
+        a2 = a2h >> 13                                    # < 2^15
+        b2 = q1 - a2 * jnp.uint32(100000)
+        top = mini_ladder(b, 0, top)
+        top = mini_ladder(a, 5, top)
+        top = mini_ladder(b2, 10, top)
+        top = mini_ladder(a2, 15, top)
+    elif max_digits == 10:
+        v = lo                                            # < 2^31
+        _, a2h = mul32_wide(v, _M_1E5)
+        a2 = a2h >> 13
+        b2 = v - a2 * jnp.uint32(100000)
+        top = mini_ladder(b2, 0, top)
+        top = mini_ladder(a2, 5, top)
+    else:  # generic fallback: the original wide ladder
         for i in range(max_digits):
             x0, x1, x2, x3 = mul64_wide(lo, hi, _MAGIC_LO, _MAGIC_HI)
             q_lo = (x2 >> 3) | (x3 << 29)
             q_hi = x3 >> 3
-            top = put(i, lo - q_lo * jnp.uint32(10))
+            top = put(i, lo - q_lo * jnp.uint32(10), top)
             lo, hi = q_lo, q_hi
     length = jnp.maximum(top, 1)
     return jnp.stack(words, axis=-1), length

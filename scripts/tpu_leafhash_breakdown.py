@@ -52,6 +52,7 @@ def chain(build):
 # --- full leaf hash (placement + masked SHA) ---
 full = jax.jit(lambda c: lh.leaf_hash_device(c, K, FMT, MD))
 results["leaf_hash_full"] = _time_chained(chain(full), comps, k1=2, k2=8)
+print("leaf_hash_full:", results["leaf_hash_full"], flush=True)
 
 
 # --- placement only: everything up to (words, active), cheap projection ---
@@ -94,6 +95,7 @@ def placement_only(c):
 
 place_jit = jax.jit(placement_only)
 results["placement_only"] = _time_chained(chain(place_jit), comps, k1=2, k2=8)
+print("placement_only:", results["placement_only"], flush=True)
 
 
 # --- digit extraction only ---
@@ -108,6 +110,7 @@ def digits_only(c):
 
 results["digits_only"] = _time_chained(chain(jax.jit(digits_only)), comps,
                                        k1=2, k2=8)
+print("digits_only:", results["digits_only"], flush=True)
 
 
 # --- masked SHA only (pre-built words/active) ---
@@ -131,6 +134,7 @@ def sha_chain(w):
 
 
 results["masked_sha_only"] = _time_chained(sha_chain, words, k1=2, k2=8)
+print("masked_sha_only:", results["masked_sha_only"], flush=True)
 
 
 # --- full parity tree build (leaf hash + inner levels), the 110 ms number ---
@@ -143,6 +147,7 @@ def tree(c):
 
 
 results["tree_full"] = _time_chained(chain(jax.jit(tree)), comps, k1=2, k2=6)
+print("tree_full:", results["tree_full"], flush=True)
 
 for k, t in results.items():
     print(f"{k}: {None if t is None else round(t * 1e3, 3)} ms", flush=True)

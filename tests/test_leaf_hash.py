@@ -33,6 +33,50 @@ def test_u64_digits():
         assert got == s
 
 
+def test_u64_digit_nibbles_chunked():
+    """The chunked magic-divide extraction (v = q1*10^10 + a*10^5 + b)
+    must agree with str() digit-for-digit, including at the split
+    boundaries where an off-by-one magic would first show."""
+    from ministark_tpu.ops.leaf_hash import u64_digit_nibbles
+
+    edges = []
+    for k in range(20):
+        for d in (-1, 0, 1):
+            v = 10**k + d
+            if 0 <= v < 2**64:
+                edges.append(v)
+    edges += [0, 1, 2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**63, 2**64 - 1,
+              18446744069414584320, 9999999999, 10000000000, 10000000001]
+    edges += [int(x) for x in rng.integers(0, 2**63, size=500, dtype=np.uint64)]
+    vals = np.array(edges, dtype=np.uint64)
+    arr = _comps_u32(vals.reshape(-1, 1))
+    nib, length = u64_digit_nibbles(arr[..., 0], arr[..., 1], 20)
+    nib = np.asarray(nib)
+    length = np.asarray(length)
+    for i, v in enumerate(vals):
+        s = str(int(v))
+        assert int(length[i, 0]) == len(s), (v, int(length[i, 0]))
+        digs = [(int(nib[i, 0, j // 8]) >> (4 * (j % 8))) & 15
+                for j in range(len(s))]
+        got = "".join(str(d) for d in digs[::-1])
+        assert got == s, (v, got, s)
+    # BabyBear width: values < 2^31, 10 digits
+    vals32 = np.array([0, 1, 9, 99999, 100000, 100001, 2013265920,
+                       2**31 - 1] +
+                      [int(x) for x in rng.integers(0, 2**31, size=300)],
+                      dtype=np.uint64)
+    arr = _comps_u32(vals32.reshape(-1, 1))
+    nib, length = u64_digit_nibbles(arr[..., 0], arr[..., 1], 10)
+    nib = np.asarray(nib)
+    length = np.asarray(length)
+    for i, v in enumerate(vals32):
+        s = str(int(v))
+        assert int(length[i, 0]) == len(s)
+        digs = [(int(nib[i, 0, j // 8]) >> (4 * (j % 8))) & 15
+                for j in range(len(s))]
+        assert "".join(str(d) for d in digs[::-1]) == s
+
+
 def test_leaf_hash_fmt0():
     vals = np.array([10, 11, 12, 13, 0, 18446744069414584320], dtype=np.uint64)
     comps = _comps_u32(vals.reshape(-1, 1))

@@ -40,7 +40,15 @@ def _cpu_fingerprint() -> str:
 
 
 def jax_cache_dir(repo_root: str = None) -> str:
-    """`.jax_cache/<cpu-fingerprint>` under the repo root (created)."""
+    """`.jax_cache/<cpu-fingerprint>` under the repo root (created).
+
+    MINISTARK_CACHE_DIR overrides the location — used by cold-start
+    experiments (point at an empty dir to reproduce the driver's
+    fully-cold first run without discarding the real cache)."""
+    override = os.environ.get("MINISTARK_CACHE_DIR")
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))

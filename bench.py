@@ -348,9 +348,12 @@ def orchestrate():
     here = os.path.abspath(__file__)
     # global deadline: the side entries (fast/stir/babybear) are optional —
     # never let them push a JSON print past the driver's patience. Round 4's
-    # rc=124 proves the driver window is below the old 3300 s plan + probe.
+    # rc=124 proves the driver window is below the old 3300 s plan + probe —
+    # but with INCREMENTAL emission an overrun only loses the in-flight
+    # entry (the last printed line stands), so the budget can sit close to
+    # the window instead of safely under it.
     reserve = 45
-    deadline = time.time() + int(os.environ.get("BENCH_TOTAL_BUDGET", "3000"))
+    deadline = time.time() + int(os.environ.get("BENCH_TOTAL_BUDGET", "3450"))
     snapshot = {}
 
     def _on_term(signum, frame):  # driver timeout sends SIGTERM first

@@ -122,10 +122,19 @@ def kernel_rooflines(deadline=None):
 
     t = _time_chained(stream, st)
     if t is not None:
-        results.append({
-            "metric": "hbm_stream",
-            "value": round(4 * ns / t / 1e9, 0), "unit": "GB/s",  # read rate
-        })
+        gbps = 4 * ns / t / 1e9
+        # plausibility clamp: the v5e's nominal HBM bandwidth is 819 GB/s;
+        # a reading above it means XLA folded the chain (one such run
+        # printed 6772 GB/s) — drop it rather than ship physics-breaking
+        # calibration into the driver JSON
+        if gbps <= 900:
+            results.append({
+                "metric": "hbm_stream",
+                "value": round(gbps, 0), "unit": "GB/s",  # read rate
+            })
+        else:
+            print(f"# hbm_stream implausible ({gbps:.0f} GB/s); dropped",
+                  file=sys.stderr)
 
     if past_deadline('planar mul calibration'):
         return results

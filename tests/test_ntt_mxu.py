@@ -119,6 +119,26 @@ def test_fused_pallas_matches_device_ntt(field, rand, n, monkeypatch):
     assert np.array_equal(np.asarray(fus_fns[1](x)), np.asarray(ref_fns[1](x)))
 
 
+@pytest.mark.parametrize("field,rand", [(GOLDILOCKS_FP, _rand_gl),
+                                        (BABYBEAR_FP, _rand_bb)])
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_fused_pipe_matches_device_ntt(field, rand, mode, monkeypatch):
+    """MINISTARK_MXU_PIPE=1/2: the skewed software-pipeline level kernel
+    (digitize tile t / dot t-1 / recombine t-2 through double-buffered
+    VMEM scratch; mode 2 = guard-free) — bit-exact in interpret mode.
+    Kept gated off by default (no hardware win — Mosaic doesn't
+    co-schedule MXU/VPU; see BENCHMARKS.md), this stops the variant from
+    rotting."""
+    n = 1 << 14
+    monkeypatch.setenv("MINISTARK_MXU_FUSED", "1")
+    monkeypatch.setenv("MINISTARK_MXU_PIPE", mode)
+    x = rand(2, n, seed=13)
+    ref_fns = make_ntt_fns(field, n)
+    fus_fns = make_mxu_ntt_fns(field, n)
+    assert np.array_equal(np.asarray(fus_fns[0](x)), np.asarray(ref_fns[0](x)))
+    assert np.array_equal(np.asarray(fus_fns[1](x)), np.asarray(ref_fns[1](x)))
+
+
 @pytest.mark.parametrize("field,rand,ops", [
     (GOLDILOCKS_FP, _rand_gl, gl), (BABYBEAR_FP, _rand_bb, bb)])
 def test_coset_matches_device_ntt(field, rand, ops):

@@ -53,8 +53,12 @@ from .stark import StarkConfig, StarkProof
 
 # Below this codeword size the engine's FRI tail falls back to host scalars
 # (avoids dozens of tiny-shape compilations); set to 1 in tests to force the
-# device path everywhere.
-DEVICE_MIN_SIZE = 1 << 11
+# device path everywhere. Raised 2^11 -> 2^13 in round 5: the size-2048/
+# 4096 device rounds were tunnel-dispatch-bound (0.06-0.25 s each in the
+# phase splits vs ~0.1 s of host bigint work for the whole tail) and the
+# two dropped sizes remove ~12 prewarm tasks from the cold bill. Proof
+# bytes identical either way (tests/test_engine.py gates it).
+DEVICE_MIN_SIZE = 1 << 13
 
 
 
